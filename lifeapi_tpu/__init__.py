@@ -1,0 +1,11 @@
+"""lifeapi_tpu — a TPU-native Life search & trajectory-optimization framework.
+
+A from-scratch JAX/XLA/Pallas re-design with the capabilities of
+scorbiclife/LifeAPI (64x64-torus Life bitboards, pattern matching, symmetry,
+still-life constraint solving) plus a batched MPC engine scaling over TPU
+meshes.  See SURVEY.md for the component inventory this implements.
+"""
+
+from .core import bitops, board, rle, step  # noqa: F401
+
+__version__ = "0.1.0"

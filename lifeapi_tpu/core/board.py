@@ -1,0 +1,438 @@
+"""Core 64x64 torus bitboard library, TPU-native packed representation.
+
+Counterpart of the reference's ``LifeState`` (reference LifeAPI.hpp:39-1382),
+re-designed for TPU: a board is a ``uint32[..., 64, 2]`` array ("packed"
+layout) — axis -2 is the column x, axis -1 splits the 64-bit column into two
+32-bit words (word 0 = bits y=0..31, word 1 = bits y=32..63), because TPUs
+have no native 64-bit integers.  Cell (x, y) is bit ``y % 32`` of
+``board[..., x, y // 32]``.
+
+All functions are pure, jit-able, and batched over arbitrary leading dims.
+A dense ``bool[..., 64, 64]`` view (indexed ``[x, y]``) is used for
+transforms and I/O; see :mod:`lifeapi_tpu.core.dense`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import bitops
+from .bitops import U32
+
+N = 64
+SHAPE = (N, 2)
+
+
+def torus_wrap(x):
+    """Coordinate wrap, valid for negatives (reference LifeAPI.hpp:14-16)."""
+    return x & (N - 1)
+
+
+# ---------------------------------------------------------------------------
+# Packing
+# ---------------------------------------------------------------------------
+
+
+def to_dense(board):
+    """packed uint32[..., 64, 2] -> dense bool[..., 64, 64] indexed [x, y]."""
+    board = jnp.asarray(board, dtype=U32)
+    shifts = jnp.arange(32, dtype=U32)
+    bits = (board[..., None] >> shifts) & U32(1)
+    return bits.reshape(*board.shape[:-2], N, N).astype(jnp.bool_)
+
+
+def from_dense(dense):
+    """dense bool/int [..., 64, 64] indexed [x, y] -> packed uint32[..., 64, 2]."""
+    dense = jnp.asarray(dense)
+    bits = dense.reshape(*dense.shape[:-2], N, 2, 32).astype(U32)
+    weights = U32(1) << jnp.arange(32, dtype=U32)
+    return jnp.sum(bits * weights, axis=-1, dtype=U32)
+
+
+def lo_hi(board):
+    """Split packed board into (lo, hi) word arrays of shape [..., 64]."""
+    return board[..., 0], board[..., 1]
+
+
+def pack_lo_hi(lo, hi):
+    return jnp.stack([lo, hi], axis=-1)
+
+
+def pack_mask64(bits):
+    """bool[..., 64] -> 64-bit pair (lo, hi) of uint32[...]. Bit i of the
+    pair corresponds to ``bits[..., i]``."""
+    b = bits.reshape(*bits.shape[:-1], 2, 32).astype(U32)
+    weights = U32(1) << jnp.arange(32, dtype=U32)
+    words = jnp.sum(b * weights, axis=-1, dtype=U32)
+    return words[..., 0], words[..., 1]
+
+
+# ---------------------------------------------------------------------------
+# Cell access (functional; coordinates may be traced)
+# ---------------------------------------------------------------------------
+
+
+def get_cell(board, x, y):
+    """Cell (x, y) as bool (reference ``Get``, LifeAPI.hpp:134)."""
+    x = torus_wrap(jnp.asarray(x))
+    y = torus_wrap(jnp.asarray(y))
+    word = board[..., x, y // 32]
+    return ((word >> (y % 32).astype(U32)) & U32(1)) != 0
+
+
+def set_cell(board, x, y, val=True):
+    """Board with cell (x, y) set/erased (reference ``Set``/``Erase``,
+    LifeAPI.hpp:131-133)."""
+    x = torus_wrap(jnp.asarray(x))
+    y = torus_wrap(jnp.asarray(y))
+    bit = U32(1) << (y % 32).astype(U32)
+    word = board[..., x, y // 32]
+    val = jnp.asarray(val, dtype=jnp.bool_)
+    new = jnp.where(val, word | bit, word & ~bit)
+    return board.at[..., x, y // 32].set(new)
+
+
+def cell_mask(x, y):
+    """A board with the single cell (x, y) set (reference ``Cell``,
+    LifeAPI.hpp:57-61)."""
+    return set_cell(empty(), x, y, True)
+
+
+# ---------------------------------------------------------------------------
+# Constructors
+# ---------------------------------------------------------------------------
+
+
+def empty(batch=()):
+    return jnp.zeros((*batch, N, 2), dtype=U32)
+
+
+def full(batch=()):
+    return jnp.full((*batch, N, 2), U32(0xFFFFFFFF), dtype=U32)
+
+
+def random(key, batch=(), p=0.5):
+    """Random board(s); each cell ON independently with probability p.
+
+    The reference's ``RandomState`` (LifeAPI.hpp:63-69) draws columns from a
+    nondeterministically seeded mt19937 with a quirky range; here randomness
+    is an explicit, splittable ``jax.random`` key (SURVEY.md section 5.6).
+    """
+    if p == 0.5:
+        return jax.random.bits(key, (*batch, N, 2), dtype=U32)
+    bits = jax.random.bernoulli(key, p, (*batch, N, N))
+    return from_dense(bits)
+
+
+def checkerboard(batch=()):
+    """Parity-of-(x+y) board, (0, 0) OFF (reference LifeAPI.hpp:72-82)."""
+    a = U32(0xAAAAAAAA)
+    b = U32(0x55555555)
+    col_even = jnp.array([a, a], dtype=U32)
+    col_odd = jnp.array([b, b], dtype=U32)
+    board = jnp.where((jnp.arange(N) % 2 == 0)[:, None], col_even, col_odd)
+    return jnp.broadcast_to(board, (*batch, N, 2))
+
+
+def solid_rect(x, y, w, h):
+    """Solid w x h rectangle with top-left (x, y), torus-wrapped (reference
+    ``SolidRect``, LifeAPI.hpp:84-111).  Static args only (host setup)."""
+    import numpy as np
+
+    dense = np.zeros((N, N), dtype=bool)
+    xs = (np.arange(x, x + min(w, N)) % N + N) % N
+    ys = (np.arange(y, y + min(h, N)) % N + N) % N
+    dense[np.ix_(xs, ys)] = True
+    return from_dense(jnp.asarray(dense))
+
+
+def solid_rect_xy(x1, y1, x2, y2):
+    """Reference ``SolidRectXY`` (LifeAPI.hpp:113-115)."""
+    return solid_rect(x1, y1, x2 - x1 + 1, y2 - y1 + 1)
+
+
+def nzoi_around(cell, distance):
+    """(2d+1)^2 square around cell (reference ``NZOIAround``,
+    LifeAPI.hpp:117-121)."""
+    x, y = cell
+    size = 2 * distance + 1
+    return solid_rect(x - distance, y - distance, size, size)
+
+
+def cell_zoi(cell):
+    return nzoi_around(cell, 1)
+
+
+# ---------------------------------------------------------------------------
+# Boolean algebra and comparisons (reference LifeAPI.hpp:213-275)
+# ---------------------------------------------------------------------------
+# Plain jnp operators work directly on packed boards: &, |, ^, ~.
+
+
+def equal(a, b):
+    return jnp.all(a == b, axis=(-2, -1))
+
+
+def is_empty(board):
+    """Reference ``IsEmpty`` (LifeAPI.hpp:281-288)."""
+    return jnp.all(board == 0, axis=(-2, -1))
+
+
+def population(board):
+    """Number of ON cells, int32 (reference ``GetPop``, LifeAPI.hpp:290-298)."""
+    return jnp.sum(
+        jax.lax.population_count(board.astype(U32)).astype(jnp.int32),
+        axis=(-2, -1),
+    )
+
+
+def are_disjoint(a, b):
+    """True iff a and b share no ON cells (reference LifeAPI.hpp:377-386)."""
+    return is_empty(a & b)
+
+
+def contains(a, b):
+    """True iff every ON cell of b is ON in a (reference LifeAPI.hpp:388-397)."""
+    return is_empty(b & ~a)
+
+
+def contains_moved(a, b, dx, dy):
+    """Reference ``Contains(pat, dx, dy)`` (LifeAPI.hpp:399-409): b moved by
+    (dx, dy) is contained in a."""
+    return contains(a, move(b, dx, dy))
+
+
+def are_disjoint_moved(a, b, dx, dy):
+    """Reference ``AreDisjoint(pat, dx, dy)`` (LifeAPI.hpp:411-422)."""
+    return are_disjoint(a, move(b, dx, dy))
+
+
+# ---------------------------------------------------------------------------
+# Shifts / moves
+# ---------------------------------------------------------------------------
+
+
+def roll_x(board, dx):
+    """Shift columns: result column x holds input column x-dx (torus)."""
+    if isinstance(dx, int):
+        if dx % N == 0:
+            return board
+        return jnp.roll(board, dx % N, axis=-2)
+    return jnp.roll(board, dx % N, axis=-2)
+
+
+def roll_y(board, dy):
+    """Shift rows: cell (x, y) of the result holds input cell (x, y-dy)."""
+    lo, hi = lo_hi(board)
+    lo, hi = bitops.rotl64(lo, hi, dy)
+    return pack_lo_hi(lo, hi)
+
+
+def move(board, dx, dy):
+    """Translate by (dx, dy) on the torus (reference ``Move``/``Moved``,
+    LifeAPI.hpp:682-736)."""
+    return roll_y(roll_x(board, dx), dy)
+
+
+# ---------------------------------------------------------------------------
+# Flips / transposes (bit-level; see symmetry/ for the full transform set)
+# ---------------------------------------------------------------------------
+
+
+def flip_x(board):
+    """Even reflection across the x-axis: y -> -1-y (reference ``FlipX`` =
+    BitReverse, LifeAPI.hpp:758-764)."""
+    lo, hi = lo_hi(board)
+    lo, hi = bitops.reverse64(lo, hi)
+    return pack_lo_hi(lo, hi)
+
+
+def flip_y(board):
+    """Even reflection across the y-axis: x -> -1-x (reference ``FlipY``,
+    LifeAPI.hpp:754-756)."""
+    return jnp.flip(board, axis=-2)
+
+
+def transpose(board, which_diagonal=True):
+    """64x64 bit-matrix transpose (reference ``Transpose``,
+    LifeAPI.hpp:766-783).  ``which_diagonal=False`` is the plain transpose
+    (x, y) -> (y, x) used by ReflectAcrossYeqX; ``True`` is the anti-diagonal
+    variant (x, y) -> (-1-y, -1-x) used by ReflectAcrossYeqNegX."""
+    d = to_dense(board)
+    d = jnp.swapaxes(d, -1, -2)
+    if which_diagonal:
+        d = jnp.flip(d, axis=(-1, -2))
+    return from_dense(d)
+
+
+def mirrored(board):
+    """Point reflection through the origin: (x, y) -> (-x, -y) (reference
+    ``Mirrored``, LifeAPI.hpp:789-795)."""
+    return move(flip_x(flip_y(board)), 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# ZOI family (reference LifeAPI.hpp:521-651)
+# ---------------------------------------------------------------------------
+
+
+def _vert3(board):
+    return board | roll_y(board, 1) | roll_y(board, -1)
+
+
+def _horiz3(board):
+    return board | roll_x(board, 1) | roll_x(board, -1)
+
+
+def zoi(board):
+    """3x3 dilation (reference ``ZOI``, LifeAPI.hpp:521-536)."""
+    return _horiz3(_vert3(board))
+
+
+def boundary(board):
+    """Reference ``GetBoundary`` (LifeAPI.hpp:538)."""
+    return zoi(board) & ~board
+
+
+def zoi_hollow(board):
+    """8-neighbour dilation, center excluded — convolve with 3o$obo$3o!
+    (reference ``ZOIHollow``, LifeAPI.hpp:541-562)."""
+    t = _vert3(board)
+    tmid = roll_y(board, 1) | roll_y(board, -1)
+    return roll_x(t, 1) | roll_x(t, -1) | tmid
+
+
+def moore_zoi(board):
+    """5-cell plus-shape dilation (reference ``MooreZOI``,
+    LifeAPI.hpp:635-651)."""
+    return _vert3(board) | roll_x(board, 1) | roll_x(board, -1)
+
+
+def big_zoi(board):
+    """Dilation with the reference's BigZOI shape (LifeAPI.hpp:564-591):
+    plus-dilate, then horizontal 3-dilate, then vertical 3-dilate."""
+    b = _vert3(board) | roll_x(board, 1) | roll_x(board, -1)
+    c = _horiz3(b)
+    return _vert3(c)
+
+
+def nzoi(board, distance):
+    """(2d+1)^2 square dilation (reference ``NZOI``, LifeAPI.hpp:607-609).
+    ``distance`` must be a Python int."""
+    for _ in range(distance):
+        board = zoi(board)
+    return board
+
+
+# ---------------------------------------------------------------------------
+# Bounds / geometry queries
+# ---------------------------------------------------------------------------
+
+
+def populated_columns(board):
+    """bool[..., 64]: column x has any ON cell (reference
+    ``PopulatedColumns``, LifeAPI.hpp:486-492)."""
+    return jnp.any(board != 0, axis=-1)
+
+
+def populated_rows(board):
+    """bool[..., 64]: row y has any ON cell."""
+    lo = jnp.bitwise_or.reduce(board[..., 0], axis=-1)
+    hi = jnp.bitwise_or.reduce(board[..., 1], axis=-1)
+    shifts = jnp.arange(32, dtype=U32)
+    bits_lo = ((lo[..., None] >> shifts) & U32(1)) != 0
+    bits_hi = ((hi[..., None] >> shifts) & U32(1)) != 0
+    return jnp.concatenate([bits_lo, bits_hi], axis=-1)
+
+
+def _centered_margins(populated):
+    """Given bool[..., 64] in coordinate order, return (first, last) indices
+    of the populated window in *centered* order (coords -32..31), or (-1, -1)
+    if empty.  Centered order index i corresponds to coordinate i - 32,
+    i.e. raw coordinate (i + 32) % 64."""
+    centered = jnp.roll(populated, 32, axis=-1)
+    any_pop = jnp.any(centered, axis=-1)
+    idx = jnp.arange(N)
+    first = jnp.min(jnp.where(centered, idx, N), axis=-1)
+    last = jnp.max(jnp.where(centered, idx, -1), axis=-1)
+    first = jnp.where(any_pop, first - 32, -1)
+    last = jnp.where(any_pop, last - 32, -1)
+    return first, last
+
+
+def xy_bounds(board):
+    """[x0, y0, x1, y1] bounding box in centered coords [-32, 31], or all -1
+    if empty (reference ``XYBounds``, LifeAPI.hpp:446-484).  Assumes the
+    pattern does not straddle the wrap seam, like the reference."""
+    x0, x1 = _centered_margins(populated_columns(board))
+    y0, y1 = _centered_margins(populated_rows(board))
+    return jnp.stack([x0, y0, x1, y1], axis=-1)
+
+
+def width_height(board):
+    """(width, height) of the populated circular windows (reference
+    ``WidthHeight``, LifeAPI.hpp:494-515) — wrap-safe, unlike xy_bounds."""
+    clo, chi = pack_mask64(populated_columns(board))
+    rlo, rhi = pack_mask64(populated_rows(board))
+    w = bitops.populated_width64(clo, chi)
+    h = bitops.populated_width64(rlo, rhi)
+    return jnp.stack([w, h], axis=-1)
+
+
+def first_on(board):
+    """Some ON cell as (x, y) int32, (-1, -1) if empty.
+
+    The reference's ``FirstOn`` (LifeAPI.hpp:301-323) makes no guarantee
+    about which cell is returned; we return the lexicographically smallest
+    (x, y) for determinism."""
+    d = to_dense(board)
+    flat = d.reshape(*d.shape[:-2], N * N)
+    idx = jnp.argmax(flat, axis=-1)
+    found = jnp.any(flat, axis=-1)
+    x = jnp.where(found, idx // N, -1)
+    y = jnp.where(found, idx % N, -1)
+    return jnp.stack([x, y], axis=-1).astype(jnp.int32)
+
+
+def buffer_around(board, size_wh):
+    """Reference ``BufferAround`` (LifeAPI.hpp:611-633)."""
+    b = xy_bounds(board)
+    x0, y0, x1, y1 = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    if b.ndim != 1:
+        raise NotImplementedError("buffer_around supports single boards")
+    import numpy as np
+
+    b = np.asarray(b)
+    if (b == -1).all():
+        return full()
+    width = int(b[2] - b[0] + 1)
+    height = int(b[3] - b[1] + 1)
+    rw = size_wh[0] - width
+    rh = size_wh[1] - height
+    if rw < 0 or rh < 0:
+        return empty()
+    return solid_rect_xy(int(b[0]) - rw, int(b[1]) - rh, int(b[2]) + rw, int(b[3]) + rh)
+
+
+def on_cells(board):
+    """Host helper: list of (x, y) tuples of ON cells (reference ``OnCells``,
+    LifeAPI.hpp:1372-1381), in lexicographic order."""
+    import numpy as np
+
+    d = np.asarray(to_dense(board))
+    xs, ys = np.nonzero(d)
+    return list(zip(xs.tolist(), ys.tolist()))
+
+
+def from_cells(cells, batch=()):
+    """Host helper: board with the given (x, y) cells set."""
+    import numpy as np
+
+    d = np.zeros((N, N), dtype=bool)
+    for x, y in cells:
+        d[x % N, y % N] = True
+    board = from_dense(jnp.asarray(d))
+    if batch:
+        board = jnp.broadcast_to(board, (*batch, N, 2))
+    return board

@@ -1,0 +1,201 @@
+import numpy as np
+import jax.numpy as jnp
+import jax
+
+from lifeapi_tpu.core import board, bitops
+from oracle import random_dense, neighbour_count_dense
+
+N = 64
+
+
+def test_pack_roundtrip(rng):
+    d = random_dense(rng, batch=(3,))
+    packed = board.from_dense(jnp.asarray(d))
+    back = np.asarray(board.to_dense(packed))
+    assert (back == d).all()
+
+
+def test_get_set_cell(rng):
+    b = board.empty()
+    b = board.set_cell(b, 3, 40)
+    assert bool(board.get_cell(b, 3, 40))
+    assert not bool(board.get_cell(b, 3, 39))
+    assert int(board.population(b)) == 1
+    b = board.set_cell(b, 3, 40, False)
+    assert bool(board.is_empty(b))
+
+
+def test_population_matches_dense(rng):
+    d = random_dense(rng, batch=(4,))
+    p = board.from_dense(jnp.asarray(d))
+    assert (np.asarray(board.population(p)) == d.sum(axis=(-1, -2))).all()
+
+
+def test_move_matches_roll(rng):
+    d = random_dense(rng)
+    p = board.from_dense(jnp.asarray(d))
+    for dx, dy in [(0, 0), (1, 0), (0, 1), (5, 33), (-3, -7), (63, 31), (32, 32)]:
+        moved = board.move(p, dx, dy)
+        expect = np.roll(np.roll(d, dx, axis=0), dy, axis=1)
+        assert (np.asarray(board.to_dense(moved)) == expect).all(), (dx, dy)
+
+
+def test_move_traced_shift(rng):
+    d = random_dense(rng)
+    p = board.from_dense(jnp.asarray(d))
+    mv = jax.jit(lambda b, dx, dy: board.move(b, dx, dy))
+    for dx, dy in [(0, 0), (17, 50), (-9, -1)]:
+        moved = mv(p, jnp.int32(dx), jnp.int32(dy))
+        expect = np.roll(np.roll(d, dx, axis=0), dy, axis=1)
+        assert (np.asarray(board.to_dense(moved)) == expect).all(), (dx, dy)
+
+
+def test_flips_and_transpose(rng):
+    d = random_dense(rng)
+    p = board.from_dense(jnp.asarray(d))
+    # flip_x: y -> -1-y
+    assert (np.asarray(board.to_dense(board.flip_x(p))) == d[:, ::-1]).all()
+    # flip_y: x -> -1-x
+    assert (np.asarray(board.to_dense(board.flip_y(p))) == d[::-1, :]).all()
+    # transpose(False): (x, y) -> (y, x)
+    assert (np.asarray(board.to_dense(board.transpose(p, False))) == d.T).all()
+    # transpose(True): (x, y) -> (-1-y, -1-x)
+    assert (
+        np.asarray(board.to_dense(board.transpose(p, True))) == d.T[::-1, ::-1]
+    ).all()
+    # mirrored: (x, y) -> (-x, -y)
+    mir = np.roll(np.roll(d[::-1, ::-1], 1, axis=0), 1, axis=1)
+    assert (np.asarray(board.to_dense(board.mirrored(p))) == mir).all()
+
+
+def test_zoi_matches_dense(rng):
+    d = random_dense(rng, p=0.05)
+    p = board.from_dense(jnp.asarray(d))
+    cnt = neighbour_count_dense(d)
+    assert (np.asarray(board.to_dense(board.zoi(p))) == (cnt > 0)).all()
+    cnt_nc = neighbour_count_dense(d, include_center=False)
+    assert (np.asarray(board.to_dense(board.zoi_hollow(p))) == (cnt_nc > 0)).all()
+
+
+def test_moore_zoi_plus_shape(rng):
+    d = random_dense(rng, p=0.05)
+    p = board.from_dense(jnp.asarray(d))
+    expect = d.copy()
+    for dx, dy in [(1, 0), (-1, 0), (0, 1), (0, -1)]:
+        expect |= np.roll(np.roll(d, dx, axis=0), dy, axis=1)
+    assert (np.asarray(board.to_dense(board.moore_zoi(p))) == expect).all()
+
+
+def test_nzoi(rng):
+    d = random_dense(rng, p=0.02)
+    p = board.from_dense(jnp.asarray(d))
+    r = 3
+    expect = np.zeros_like(d)
+    for dx in range(-r, r + 1):
+        for dy in range(-r, r + 1):
+            expect |= np.roll(np.roll(d, dx, axis=0), dy, axis=1)
+    assert (np.asarray(board.to_dense(board.nzoi(p, r))) == expect).all()
+
+
+def test_xy_bounds_and_width_height():
+    p = board.solid_rect(-3, 5, 4, 7)
+    b = np.asarray(board.xy_bounds(p))
+    assert list(b) == [-3, 5, 0, 11]
+    wh = np.asarray(board.width_height(p))
+    assert list(wh) == [4, 7]
+    # wrap-safe width via populated circular window
+    p2 = board.solid_rect(62, 0, 5, 2)  # wraps x = 62..2
+    wh2 = np.asarray(board.width_height(p2))
+    assert list(wh2) == [5, 2]
+    assert np.asarray(board.xy_bounds(board.empty())).tolist() == [-1] * 4
+
+
+def test_first_on_and_cells():
+    p = board.from_cells([(5, 7), (3, 60), (3, 2)])
+    xy = np.asarray(board.first_on(p))
+    assert list(xy) == [3, 2]
+    assert board.on_cells(p) == [(3, 2), (3, 60), (5, 7)]
+    assert np.asarray(board.first_on(board.empty())).tolist() == [-1, -1]
+
+
+def test_contains_disjoint():
+    a = board.from_cells([(1, 1), (2, 2), (3, 3)])
+    b = board.from_cells([(1, 1), (3, 3)])
+    assert bool(board.contains(a, b))
+    assert not bool(board.contains(b, a))
+    c = board.from_cells([(10, 10)])
+    assert bool(board.are_disjoint(a, c))
+    # offset containment
+    assert bool(board.contains_moved(a, board.from_cells([(0, 0), (2, 2)]), 1, 1))
+
+
+def test_checkerboard():
+    cb = np.asarray(board.to_dense(board.checkerboard()))
+    assert not cb[0, 0]
+    assert cb[1, 0]
+    assert cb[0, 1]
+    xs, ys = np.nonzero(cb)
+    assert (((xs + ys) % 2) == 1).all()
+    assert cb.sum() == N * N // 2
+
+
+def test_bitops_rotl64(rng):
+    vals = rng.integers(0, 2**64, size=10, dtype=np.uint64)
+    for k in [0, 1, 5, 31, 32, 33, 63]:
+        lo = jnp.asarray((vals & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+        hi = jnp.asarray((vals >> np.uint64(32)).astype(np.uint32))
+        rlo, rhi = bitops.rotl64(lo, hi, k)
+        got = np.asarray(rlo).astype(np.uint64) | (
+            np.asarray(rhi).astype(np.uint64) << np.uint64(32)
+        )
+        expect = (vals << np.uint64(k)) | (vals >> np.uint64(64 - k)) if k else vals
+        assert (got == expect).all(), k
+
+
+def test_bitops_reverse64(rng):
+    vals = rng.integers(0, 2**64, size=16, dtype=np.uint64)
+    lo = jnp.asarray((vals & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    hi = jnp.asarray((vals >> np.uint64(32)).astype(np.uint32))
+    rlo, rhi = bitops.reverse64(lo, hi)
+    got = np.asarray(rlo).astype(np.uint64) | (
+        np.asarray(rhi).astype(np.uint64) << np.uint64(32)
+    )
+    expect = np.array(
+        [int(f"{v:064b}"[::-1], 2) for v in vals.tolist()], dtype=np.uint64
+    )
+    assert (got == expect).all()
+
+
+def test_longest_run_and_width(rng):
+    def longest_run_py(v):
+        if v == 0:
+            return 0
+        bits = f"{v:064b}" * 2
+        best = max(len(s) for s in bits.split("0")) if "0" in bits else 128
+        return min(best, 64)
+
+    vals = list(rng.integers(0, 2**64, size=20, dtype=np.uint64)) + [
+        np.uint64(0),
+        np.uint64(2**64 - 1),
+        np.uint64(0x8000000000000001),
+    ]
+    for v in vals:
+        lo = jnp.uint32(int(v) & 0xFFFFFFFF)
+        hi = jnp.uint32(int(v) >> 32)
+        got = int(bitops.longest_run64(lo, hi))
+        assert got == longest_run_py(int(v)), hex(int(v))
+
+
+def test_populated_width(rng):
+    # width = 64 - longest circular run of zeros
+    for v in [0, 1, 0b1100, (1 << 63) | 1, 2**64 - 1]:
+        lo = jnp.uint32(v & 0xFFFFFFFF)
+        hi = jnp.uint32(v >> 32)
+        got = int(bitops.populated_width64(lo, hi))
+        if v == 0:
+            assert got == 0
+        else:
+            bits = f"{v:064b}" * 2
+            longest_zero = max((len(s) for s in bits.split("1") if s), default=0)
+            longest_zero = min(longest_zero, 64)
+            assert got == 64 - longest_zero, bin(v)
