@@ -1,0 +1,176 @@
+"""Torus convolution, pattern matching and interaction prediction.
+
+TPU-native counterpart of the reference convolution stack (reference
+LifeAPI.hpp:427-444, :1066-1095, :1284-1370).  The reference decomposes the
+source board into bit-runs and ORs rotated copies — a data-dependent scalar
+loop.  Here the same contract (index-sum OR-"convolution": result bit (x, y)
+is set iff there are cells (a, b) in ``a`` and (c, d) in ``b`` with
+a+c == x, b+d == y mod 64) is computed densely via 2D FFTs: boards are tiny
+(64x64), counts are bounded by 4096 so float32 FFT round-trips are exact
+after rounding, shapes are static, and the whole thing batches over boards.
+
+Count variants (not available in the reference — it only gets the OR) are
+exposed too, since the MPC cost layer consumes them directly.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from . import board as board_mod
+from .board import from_dense, mirrored, to_dense
+
+N = 64
+
+
+def _fft(x_dense):
+    return jnp.fft.rfft2(x_dense.astype(jnp.float32), axes=(-2, -1))
+
+
+def convolve_counts(a, b):
+    """Circular convolution counts: int32[..., 64, 64] where entry (x, y) is
+    the number of pairs of ON cells (p in a, q in b) with p + q == (x, y)."""
+    fa = _fft(to_dense(a))
+    fb = _fft(to_dense(b))
+    conv = jnp.fft.irfft2(fa * fb, s=(N, N), axes=(-2, -1))
+    return jnp.round(conv).astype(jnp.int32)
+
+
+def convolve(a, b):
+    """OR-convolution (dilation of a by b), bit-identical to the reference
+    ``LifeState::Convolve`` (LifeAPI.hpp:1293-1370)."""
+    fa = _fft(to_dense(a))
+    fb = _fft(to_dense(b))
+    conv = jnp.fft.irfft2(fa * fb, s=(N, N), axes=(-2, -1))
+    return from_dense(conv > 0.5)
+
+
+def correlate_counts(state, pattern):
+    """int32[..., 64, 64]: entry (dx, dy) counts ON cells of ``pattern``
+    that land on ON cells of ``state`` when moved by (dx, dy).  Equals
+    ``convolve_counts(state, mirrored(pattern))``."""
+    return convolve_counts(state, mirrored(pattern))
+
+
+def match_live(state, live):
+    """Mask of translations (dx, dy) at which every ON cell of ``live`` is
+    ON in ``state`` (reference ``MatchLive``, LifeAPI.hpp:427-430)."""
+    misses = correlate_counts(~state, live)
+    return from_dense(misses == 0)
+
+
+def match_live_and_dead(state, live, dead):
+    """Translations at which ``live`` is fully ON and ``dead`` fully OFF in
+    ``state`` (reference ``MatchLiveAndDead``, LifeAPI.hpp:432-435)."""
+    misses = correlate_counts(~state, live)
+    hits = correlate_counts(state, dead)
+    return from_dense((misses == 0) & (hits == 0))
+
+
+def match(state, live):
+    """Reference ``Match(live)`` (LifeAPI.hpp:440-442): live cells ON and
+    the boundary of live OFF."""
+    return match_live_and_dead(state, live, board_mod.boundary(live))
+
+
+def align_with(state, other):
+    """Translate ``state`` so it aligns with ``other`` (reference
+    ``AlignWith``, LifeAPI.hpp:738-741)."""
+    offset = board_mod.first_on(match(state, other))
+    return board_mod.move(state, -offset[..., 0], -offset[..., 1])
+
+
+def interaction_offsets(a, b):
+    """All translations of ``b`` that would interact with ``a`` (change the
+    next generation of either) — reference ``InteractionOffsets``
+    (LifeAPI.hpp:1066-1095): a union of convolutions of neighbour-count
+    classified masks covering overlaps, birth pairs, and overcrowding."""
+    from .step import neighbour_counts
+
+    def masks(state):
+        bit3, bit2, bit1, bit0 = neighbour_counts(state)
+        out1 = ~bit3 & ~bit2 & ~bit1 & bit0
+        out2 = ~bit3 & ~bit2 & bit1 & ~bit0
+        out3 = ~bit3 & ~bit2 & bit1 & bit0
+        ge1 = bit3 | bit2 | bit1 | bit0
+        ge2 = bit3 | bit2 | bit1
+        ge4 = bit2 | bit3
+        return out1, out2, out3, ge1, ge2, ge4
+
+    a_state = a
+    a1, a2, a3, a_ge1, a_ge2, a_ge4 = masks(a_state)
+    b_state = mirrored(b)
+    b1, b2, b3, b_ge1, b_ge2, b_ge4 = masks(b_state)
+
+    pairs = [
+        (a_state, b_state),
+        (a1 & ~a_state, b2 & ~b_state),
+        (b1 & ~b_state, a2 & ~a_state),
+        (a3 & a_state, b_ge2 & ~b_state),
+        (a_ge4 & a_state, b_ge1 & ~b_state),
+        (b3 & b_state, a_ge2 & ~a_state),
+        (b_ge4 & b_state, a_ge1 & ~a_state),
+    ]
+    # One batched FFT convolution for all 7 mask pairs.
+    lefts = jnp.stack([p[0] for p in pairs], axis=0)
+    rights = jnp.stack([p[1] for p in pairs], axis=0)
+    counts = convolve_counts(lefts, rights)
+    return from_dense(jnp.any(counts > 0, axis=0))
+
+
+def component_containing(state, seed, corona=None):
+    """Connected component of ``state`` containing ``seed``, by repeated
+    corona dilation (reference ``ComponentContaining``, LifeAPI.hpp:655-665;
+    default corona LifeAPI.hpp:1184-1188, with the intended center-included
+    shape — the snapshot's ConstantParse bug dropped its rows, SURVEY.md
+    section 2.7)."""
+    import jax
+
+    if corona is None:
+        corona = default_corona()
+
+    def cond(carry):
+        result, tocheck = carry
+        return ~board_mod.is_empty(tocheck)
+
+    def body(carry):
+        result, tocheck = carry
+        neighbours = convolve(tocheck, corona) & state
+        new_tocheck = neighbours & ~result
+        return result | neighbours, new_tocheck
+
+    result, _ = jax.lax.while_loop(
+        cond, body, (board_mod.empty(), seed)
+    )
+    return result
+
+
+def default_corona():
+    """5x5 square minus corners, centered (reference "b3o$5o$5o$5o$b3o!"
+    moved (-2, -2), LifeAPI.hpp:1186)."""
+    cells = []
+    for dx in range(-2, 3):
+        for dy in range(-2, 3):
+            if abs(dx) == 2 and abs(dy) == 2:
+                continue
+            cells.append((dx, dy))
+    return board_mod.from_cells(cells)
+
+
+def components(state, corona=None):
+    """List of connected components (reference ``Components``,
+    LifeAPI.hpp:667-676).  Host-driven loop; each component extraction is a
+    jitted fixpoint."""
+    import numpy as np
+
+    if corona is None:
+        corona = default_corona()
+    result = []
+    remaining = state
+    while not bool(board_mod.is_empty(remaining)):
+        xy = np.asarray(board_mod.first_on(remaining))
+        seed = board_mod.cell_mask(int(xy[0]), int(xy[1]))
+        comp = component_containing(remaining, seed, corona)
+        result.append(comp)
+        remaining = remaining & ~comp
+    return result

@@ -104,6 +104,7 @@ def write_rle_grid(chargrid, flush_trailing=False):
             if run_count > 1:
                 out.append(str(run_count))
             out.append(last_val)
+        eol_count += 1
     if flush_trailing and eol_count > 0:
         if eol_count > 1:
             out.append(str(eol_count))
@@ -170,6 +171,27 @@ def row_rle(denses, spacing=70):
             out.append(str(eol_count))
         out.append("$")
     return "".join(out)
+
+
+def parse(rle_str):
+    """RLE -> packed board (reference ``LifeState::Parse``,
+    Parsing.hpp:192-198)."""
+    import jax.numpy as jnp
+
+    from .board import from_dense
+
+    return from_dense(jnp.asarray(parse_dense(rle_str)))
+
+
+def to_rle(board):
+    """packed board -> centered RLE (reference ``LifeState::RLE``,
+    Parsing.hpp:200-204).  Note parse(to_rle(b)) == move(b, -32, -32), as in
+    the reference (the writer is centered, the parser is origin-based)."""
+    import numpy as np
+
+    from .board import to_dense
+
+    return write_rle(np.asarray(to_dense(board)))
 
 
 def format_grid(dense):

@@ -1,0 +1,157 @@
+"""Fused multi-step Life rollout as a Pallas TPU kernel.
+
+The reference steps one board at a time on one CPU core (LifeAPI.hpp:
+1196-1216); here thousands of boards are stepped in lockstep on the VPU.
+
+Kernel layout: a batch of boards is two ``uint32[64, B]`` arrays ``lo``/
+``hi`` — columns on the sublane axis, batch on the lane axis, so every
+bitwise op processes 8x128 lanes of independent boards.  64-bit column
+rotates become 32-bit funnel shifts between the two half-words; the
+column-neighbour stencil is a +-1 sublane roll.  T generations are fused in
+one kernel invocation so board state stays in VMEM for the whole horizon
+(HBM traffic is amortized to 2 reads + 2 writes per rollout, not per step).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+U32 = jnp.uint32
+
+# Tuned on TPU v5e: 128-lane batch tiles keep VREG pressure low enough that
+# Mosaic does not spill the CSA intermediates; larger tiles measurably lose
+# throughput (5.5e8 vs 7.0e8 steps/s at tile 256 vs 128).
+DEFAULT_BATCH_TILE = 128
+DEFAULT_UNROLL = 4
+
+
+def _rotl1(lo, hi):
+    """64-bit rotate towards higher y by 1, elementwise on half-words."""
+    return (lo << 1) | (hi >> 31), (hi << 1) | (lo >> 31)
+
+
+def _rotr1(lo, hi):
+    return (lo >> 1) | (hi << 31), (hi >> 1) | (lo << 31)
+
+
+def _roll_cols(x, shift):
+    """Circular roll along the column (sublane) axis 0."""
+    if shift == 1:
+        return jnp.concatenate([x[-1:], x[:-1]], axis=0)
+    if shift == -1:
+        return jnp.concatenate([x[1:], x[:1]], axis=0)
+    raise ValueError(shift)
+
+
+def step_lohi(lo, hi):
+    """One Life generation on kernel-layout boards (same CSA/Rokicki netlist
+    as :func:`lifeapi_tpu.core.step.step`; bit-exact)."""
+    al_lo, al_hi = _rotl1(lo, hi)
+    ar_lo, ar_hi = _rotr1(lo, hi)
+
+    # vertical 3-sums (reference CountRows, LifeAPI.hpp:897-907)
+    x_lo = al_lo ^ ar_lo
+    x_hi = al_hi ^ ar_hi
+    c0_lo = x_lo ^ lo
+    c0_hi = x_hi ^ hi
+    c1_lo = (x_lo & lo) | (al_lo & ar_lo)
+    c1_hi = (x_hi & hi) | (al_hi & ar_hi)
+
+    u0_lo = _roll_cols(c0_lo, 1)
+    u0_hi = _roll_cols(c0_hi, 1)
+    u1_lo = _roll_cols(c1_lo, 1)
+    u1_hi = _roll_cols(c1_hi, 1)
+    b0_lo = _roll_cols(c0_lo, -1)
+    b0_hi = _roll_cols(c0_hi, -1)
+    b1_lo = _roll_cols(c1_lo, -1)
+    b1_hi = _roll_cols(c1_hi, -1)
+
+    # Rokicki next-state formula (reference LifeAPI.hpp:837-848)
+    def rok(a, aw, ae, bU0, bU1, bB0, bB1):
+        s0 = aw ^ ae
+        s1 = aw & ae
+        ts0 = bB0 ^ bU0
+        ts1 = (bB0 & bU0) | (ts0 & s0)
+        return (bB1 ^ bU1 ^ ts1 ^ s1) & ((bB1 | bU1) ^ (ts1 | s1)) & ((ts0 ^ s0) | a)
+
+    nlo = rok(lo, al_lo, ar_lo, u0_lo, u1_lo, b0_lo, b1_lo)
+    nhi = rok(hi, al_hi, ar_hi, u0_hi, u1_hi, b0_hi, b1_hi)
+    return nlo, nhi
+
+
+def _rollout_kernel(lo_ref, hi_ref, out_lo_ref, out_hi_ref, *, steps):
+    lo = lo_ref[:]
+    hi = hi_ref[:]
+
+    unroll = DEFAULT_UNROLL
+    main, rem = divmod(steps, unroll)
+
+    def body(_, carry):
+        l, h = carry
+        for _ in range(unroll):
+            l, h = step_lohi(l, h)
+        return l, h
+
+    lo, hi = jax.lax.fori_loop(0, main, body, (lo, hi))
+    for _ in range(rem):
+        lo, hi = step_lohi(lo, hi)
+    out_lo_ref[:] = lo
+    out_hi_ref[:] = hi
+
+
+def to_kernel_layout(boards):
+    """packed uint32[B, 64, 2] -> (lo, hi) uint32[64, B]."""
+    lo = jnp.transpose(boards[..., 0])
+    hi = jnp.transpose(boards[..., 1])
+    return lo, hi
+
+
+def from_kernel_layout(lo, hi):
+    """(lo, hi) uint32[64, B] -> packed uint32[B, 64, 2]."""
+    return jnp.stack([jnp.transpose(lo), jnp.transpose(hi)], axis=-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("steps", "batch_tile", "interpret")
+)
+def rollout_lohi(lo, hi, steps, batch_tile=DEFAULT_BATCH_TILE, interpret=False):
+    """Advance all boards ``steps`` generations.  lo/hi: uint32[64, B] with
+    B a multiple of the batch tile (pad with dead boards if needed)."""
+    n_cols, b = lo.shape
+    assert n_cols == 64
+    batch_tile = min(batch_tile, b)
+    assert b % batch_tile == 0, (b, batch_tile)
+    grid = (b // batch_tile,)
+    spec = pl.BlockSpec(
+        (64, batch_tile), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    out_lo, out_hi = pl.pallas_call(
+        functools.partial(_rollout_kernel, steps=steps),
+        out_shape=(
+            jax.ShapeDtypeStruct(lo.shape, U32),
+            jax.ShapeDtypeStruct(hi.shape, U32),
+        ),
+        grid=grid,
+        in_specs=[spec, spec],
+        out_specs=(spec, spec),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=int(steps) * 64 * 2 * 40 * b,
+            bytes_accessed=4 * 64 * b * 4,
+            transcendentals=0,
+        ),
+    )(lo, hi)
+    return out_lo, out_hi
+
+
+def rollout(boards, steps, batch_tile=DEFAULT_BATCH_TILE, interpret=False):
+    """packed uint32[B, 64, 2] -> packed, advanced ``steps`` generations on
+    the fused kernel path."""
+    lo, hi = to_kernel_layout(boards)
+    lo, hi = rollout_lohi(lo, hi, steps, batch_tile=batch_tile, interpret=interpret)
+    return from_kernel_layout(lo, hi)

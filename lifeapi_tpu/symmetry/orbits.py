@@ -1,0 +1,133 @@
+"""Orbit utilities: orientation-independent hashing, orbit enumeration,
+matching under all transforms.
+
+Counterpart of reference Symmetry.hpp:774-830 and LifeAPI.hpp:373-375.
+The reference hashes raw words with xxHash; hashing here is blake2b on the
+canonical byte serialization (host-side), plus a jit-able 64-bit
+fingerprint for on-device dedup (a framework addition — the reference has
+no on-device analog).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core import board as board_mod
+from .transforms import ALL_TRANSFORMS, SymmetryTransform as T, transform
+
+
+def board_hash(board):
+    """Host-side stable 64-bit hash of a single board (reference
+    ``GetHash``, LifeAPI.hpp:373)."""
+    raw = np.ascontiguousarray(np.asarray(board, dtype=np.uint32)).tobytes()
+    return int.from_bytes(hashlib.blake2b(raw, digest_size=8).digest(), "little")
+
+
+def octo_hash(board):
+    """XOR of hashes of all 16 transforms normalized to the origin
+    (reference ``GetOctoHash``, Symmetry.hpp:774-785).
+
+    Parity note (verified against the compiled reference): because the 16
+    transforms collapse to D8 elements with *even* multiplicity for all but
+    Identity and ReflectAcrossYeqX once translations are normalized away,
+    the XOR cancels in pairs — the reference key is invariant under
+    translation and the y=x reflection but NOT under e.g. Rotate90.  We
+    reproduce that behavior; use :func:`canonical_hash` for a fully
+    orientation-independent key."""
+    result = 0
+    for t in ALL_TRANSFORMS:
+        tr = transform(board, t)
+        b = np.asarray(board_mod.xy_bounds(tr))
+        tr = board_mod.move(tr, -int(b[0]), -int(b[1]))
+        result ^= board_hash(tr)
+    return result
+
+
+def canonical_hash(board):
+    """Fully orientation- and translation-independent key: the minimum of
+    the hashes of the 8 origin-normalized D8 images (framework extension;
+    fixes the reference octo-hash cancellation quirk)."""
+    best = None
+    for t in _OCTO_TRANSFORMS:
+        tr = transform(board, t)
+        b = np.asarray(board_mod.xy_bounds(tr))
+        tr = board_mod.move(tr, -int(b[0]), -int(b[1]))
+        h = board_hash(tr)
+        best = h if best is None else min(best, h)
+    return best
+
+
+_FP_KEY = None
+
+
+def fingerprint(board):
+    """jit-able 64-bit-ish fingerprint (two uint32 lanes) for on-device
+    dedup of board batches."""
+    global _FP_KEY
+    if _FP_KEY is None:
+        rng = np.random.default_rng(0xF00D)
+        _FP_KEY = jnp.asarray(
+            rng.integers(1, 2**32, size=(64, 2), dtype=np.uint32) | 1
+        )
+    prod = board.astype(jnp.uint32) * _FP_KEY
+    a = jnp.sum(prod, axis=(-2, -1), dtype=jnp.uint32)
+    b = jnp.sum(prod ^ (prod >> 7), axis=(-2, -1), dtype=jnp.uint32)
+    return a, b
+
+
+_OCTO_TRANSFORMS = (
+    T.Identity,
+    T.ReflectAcrossX,
+    T.ReflectAcrossYeqX,
+    T.ReflectAcrossY,
+    T.ReflectAcrossYeqNegXP1,
+    T.Rotate90,
+    T.Rotate270,
+    T.Rotate180OddBoth,
+)
+
+
+def symmetry_orbit(board):
+    """Distinct origin-normalized D8 images of the board (reference
+    ``SymmetryOrbit``, Symmetry.hpp:798-812)."""
+    result = []
+    for t in _OCTO_TRANSFORMS:
+        tr = transform(board, t)
+        b = np.asarray(board_mod.xy_bounds(tr))
+        tr = board_mod.move(tr, -int(b[0]), -int(b[1]))
+        if not any(bool(board_mod.equal(tr, r)) for r in result):
+            result.append(tr)
+    return result
+
+
+def symmetry_orbit_representatives(board):
+    """Transforms giving distinct normalized images (reference
+    Symmetry.hpp:814-830)."""
+    seen = []
+    reps = []
+    for t in _OCTO_TRANSFORMS:
+        tr = transform(board, t)
+        b = np.asarray(board_mod.xy_bounds(tr))
+        tr = board_mod.move(tr, -int(b[0]), -int(b[1]))
+        if not any(bool(board_mod.equal(tr, s)) for s in seen):
+            seen.append(tr)
+            reps.append(t)
+    return reps
+
+
+def matches_live_and_dead_sym(state, live, dead):
+    """Union over all 16 transforms of match positions, smeared by the
+    transformed pattern (reference ``MatchesLiveAndDeadSym``,
+    Symmetry.hpp:787-796)."""
+    from ..core import convolve as convolve_mod
+
+    result = board_mod.empty()
+    for t in ALL_TRANSFORMS:
+        tl = transform(live, t)
+        td = transform(dead, t)
+        matches = convolve_mod.match_live_and_dead(state, tl, td)
+        result = result | convolve_mod.convolve(matches, tl)
+    return result

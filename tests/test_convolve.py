@@ -1,0 +1,119 @@
+import numpy as np
+import jax.numpy as jnp
+
+from lifeapi_tpu.core import board, convolve, step
+from lifeapi_tpu import target as target_mod
+from oracle import dilate_dense, life_step_dense, random_dense
+
+N = 64
+EATER = [(0, 0), (1, 0), (0, 1), (2, 1), (2, 2), (2, 3), (3, 3)]
+GLIDER = [(1, 0), (2, 1), (0, 2), (1, 2), (2, 2)]
+
+
+def test_convolve_matches_dilation(rng):
+    a = random_dense(rng, p=0.1)
+    kernel_cells = [(0, 0), (1, 0), (0, 1), (5, 62), (63, 63)]
+    b = board.from_cells(kernel_cells)
+    got = np.asarray(board.to_dense(convolve.convolve(board.from_dense(jnp.asarray(a)), b)))
+    expect = dilate_dense(a, kernel_cells)
+    assert (got == expect).all()
+
+
+def test_convolve_counts(rng):
+    a = board.from_cells([(0, 0), (1, 0)])
+    b = board.from_cells([(0, 0), (1, 0)])
+    counts = np.asarray(convolve.convolve_counts(a, b))
+    assert counts[1, 0] == 2  # (0,0)+(1,0) and (1,0)+(0,0)
+    assert counts[0, 0] == 1 and counts[2, 0] == 1
+    assert counts.sum() == 4
+
+
+def test_convolve_full_board(rng):
+    # the reference has a special case for all-ones source words
+    a = board.full()
+    b = board.from_cells([(3, 4)])
+    got = convolve.convolve(a, b)
+    assert bool(board.equal(got, board.full()))
+
+
+def test_match_live(rng):
+    pat = board.from_cells(EATER)
+    state = board.move(pat, 10, 20) | board.from_cells([(40, 40)])
+    m = convolve.match_live(state, pat)
+    assert bool(board.get_cell(m, 10, 20))
+    # match_live allows extra ON cells elsewhere; exact match forbids
+    # boundary cells
+    m2 = convolve.match(state, pat)
+    assert bool(board.get_cell(m2, 10, 20))
+    got = board.on_cells(m2)
+    assert got == [(10, 20)]
+
+
+def test_match_excludes_overlapping_garbage():
+    pat = board.from_cells(EATER)
+    state = board.move(pat, 10, 20)
+    # put garbage directly adjacent: boundary violated -> no match
+    state2 = state | board.from_cells([(9, 19)])
+    m = convolve.match(state2, pat)
+    assert board.on_cells(m) == []
+
+
+def test_match_target(rng):
+    pat = board.from_cells(GLIDER)
+    t = target_mod.LifeTarget.from_state(pat)
+    state = board.move(pat, 5, 7)
+    m = target_mod.match(state, t)
+    assert bool(board.get_cell(m, 5, 7))
+    assert bool(target_mod.contains(state, t.moved(5, 7)))
+    assert bool(target_mod.contains_moved(state, t, 5, 7))
+    assert not bool(target_mod.contains(state, t))
+
+
+def test_hamming_cost():
+    pat = board.from_cells(GLIDER)
+    t = target_mod.LifeTarget.from_state(pat)
+    assert int(target_mod.hamming_cost(pat, t)) == 0
+    assert int(target_mod.hamming_cost(board.empty(), t)) == 5
+    # a boundary violation costs too
+    bad = pat | board.from_cells([(0, 0)])
+    assert int(target_mod.hamming_cost(bad, t)) == 1
+
+
+def test_interaction_offsets_predict_then_simulate():
+    # The reference's EaterSelfInteractionTest intent
+    # (tests/InteractionTest.cpp:7-28): InteractionOffsets must predict
+    # exactly whether placing the second pattern at an offset changes the
+    # next step of the union.
+    eater = board.from_cells(EATER)
+    offsets_board = convolve.interaction_offsets(eater, eater)
+    nxt_e = step.step(eater)
+    for dx in range(-8, 8):
+        for dy in range(-8, 8):
+            moved = board.move(eater, dx, dy)
+            together = eater | moved
+            after = step.step(together)
+            quiet = bool(board.equal(after, nxt_e | board.move(nxt_e, dx, dy))) and \
+                bool(board.are_disjoint(eater, moved))
+            predicted = bool(board.get_cell(offsets_board, dx, dy))
+            if not quiet:
+                assert predicted, (dx, dy)
+
+
+def test_component_containing():
+    blob1 = board.from_cells([(1, 1), (2, 2), (3, 3)])
+    blob2 = board.from_cells([(30, 30), (31, 30)])
+    state = blob1 | blob2
+    comp = convolve.component_containing(state, board.cell_mask(1, 1))
+    assert bool(board.equal(comp, blob1))
+    comps = convolve.components(state)
+    assert len(comps) == 2
+    union = comps[0] | comps[1]
+    assert bool(board.equal(union, state))
+
+
+def test_components_vertically_separated():
+    # the reference snapshot infinite-loops on this (SURVEY.md section 2.7);
+    # we implement the intended semantics
+    state = board.from_cells([(5, 5), (5, 8)])
+    comps = convolve.components(state)
+    assert len(comps) == 2

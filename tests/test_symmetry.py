@@ -1,0 +1,243 @@
+import numpy as np
+import jax.numpy as jnp
+
+from lifeapi_tpu.core import board
+from lifeapi_tpu.symmetry import (
+    StaticSymmetry as S,
+    SymmetryTransform as T,
+    groups,
+    lattice,
+    offsets,
+    orbits,
+    transforms,
+)
+from oracle import random_dense
+
+N = 64
+
+
+# -- independent oracle: compose FlipX/FlipY/Transpose/Move on dense grids
+# exactly like the reference (Symmetry.hpp:105-173) -------------------------
+
+
+def _flip_x(d):
+    return d[:, ::-1]
+
+
+def _flip_y(d):
+    return d[::-1, :]
+
+
+def _transpose(d, which):
+    # which=False: (x,y)->(y,x); which=True: other diagonal.  These match
+    # the Hacker's-Delight bit transposes in LifeAPI.hpp:766-783.
+    return d.T if not which else d.T[::-1, ::-1]
+
+
+def _move(d, x, y):
+    return np.roll(np.roll(d, x, axis=0), y, axis=1)
+
+
+def reference_transform(d, t):
+    ops = {
+        T.Identity: lambda d: d,
+        T.ReflectAcrossXEven: lambda d: _flip_x(d),
+        T.ReflectAcrossX: lambda d: _move(_flip_x(d), 0, 1),
+        T.ReflectAcrossYEven: lambda d: _flip_y(d),
+        T.ReflectAcrossY: lambda d: _move(_flip_y(d), 1, 0),
+        T.Rotate180EvenBoth: lambda d: _flip_y(_flip_x(d)),
+        T.Rotate180EvenVertical: lambda d: _move(_flip_y(_flip_x(d)), 1, 0),
+        T.Rotate180EvenHorizontal: lambda d: _move(_flip_y(_flip_x(d)), 0, 1),
+        T.Rotate180OddBoth: lambda d: _move(_flip_y(_flip_x(d)), 1, 1),
+        T.ReflectAcrossYeqX: lambda d: _transpose(d, False),
+        T.ReflectAcrossYeqNegX: lambda d: _transpose(d, True),
+        T.ReflectAcrossYeqNegXP1: lambda d: _move(_transpose(d, True), 1, 1),
+        T.Rotate90Even: lambda d: _transpose(_flip_x(d), False),
+        T.Rotate90: lambda d: _move(_transpose(_flip_x(d), False), 1, 0),
+        T.Rotate270Even: lambda d: _transpose(_flip_y(d), False),
+        T.Rotate270: lambda d: _move(_transpose(_flip_y(d), False), 0, 1),
+    }
+    return ops[t](d)
+
+
+def test_transforms_match_reference_composition(rng):
+    d = random_dense(rng, p=0.3)
+    p = board.from_dense(jnp.asarray(d))
+    for t in T:
+        got = np.asarray(board.to_dense(transforms.transform(p, t)))
+        expect = reference_transform(d, t)
+        assert (got == expect).all(), t.name
+
+
+def test_transform_inverse(rng):
+    d = random_dense(rng, p=0.3)
+    p = board.from_dense(jnp.asarray(d))
+    for t in T:
+        inv = transforms.transform_inverse(t)
+        back = transforms.transform(transforms.transform(p, t), inv)
+        assert bool(board.equal(back, p)), t.name
+
+
+def test_groups_are_groups(rng):
+    # each coset list must be closed: applying every element to a random
+    # pattern and re-applying any element permutes the set
+    d = random_dense(rng, p=0.2)
+    for sym, ts in groups.GROUPS.items():
+        imgs = [reference_transform(d, t) for t in ts]
+        for t in ts:
+            img2 = {reference_transform(i, t).tobytes() for i in imgs}
+            assert img2 == {i.tobytes() for i in imgs}, sym.name
+
+
+def test_commute_translation(rng):
+    d = random_dense(rng, p=0.2)
+    p = board.from_dense(jnp.asarray(d))
+    for t in T:
+        for vec in [(3, 5), (0, 1), (7, 0)]:
+            cv = transforms.commute_translation(t, vec)
+            a = transforms.transform(board.move(p, *vec), t)
+            b = board.move(transforms.transform(p, t), *cv)
+            assert bool(board.equal(a, b)), (t.name, vec)
+
+
+def _check_fundamental_domain(sym, offset):
+    # reference tests/SymmetryTest.cpp:7-15
+    domain = groups.fundamental_domain(sym)
+    domain = board.move(domain, *offsets.halve_offset(sym, offset))
+    covered = offsets.symmetricize(domain, sym, offset)
+    missing = ~covered
+    assert bool(board.is_empty(missing)), (S(sym).name, offset)
+
+
+def test_fundamental_domain_symmetricize_origin():
+    for s in [S.C1, S.C2, S.C4, S.D2AcrossX, S.D2AcrossY, S.D2diagodd,
+              S.D2negdiagodd, S.D4, S.D4diag]:
+        _check_fundamental_domain(s, (0, 0))
+
+
+def test_fundamental_domain_symmetricize_offset():
+    # reference tests/SymmetryTest.cpp:23-46 (thinned grid for runtime)
+    for s in [S.C1, S.C2, S.C4, S.D4, S.D4diag]:
+        for i in range(1, 10, 2):
+            for j in range(1, 10, 2):
+                if s == S.D4diag and (i + j) % 2 == 1:
+                    continue
+                _check_fundamental_domain(s, (i, j))
+                _check_fundamental_domain(s, (64 - i, j))
+                _check_fundamental_domain(s, (i, 64 - j))
+                _check_fundamental_domain(s, (64 - i, 64 - j))
+    for i in range(1, 10):
+        _check_fundamental_domain(S.D2AcrossX, (0, i))
+        _check_fundamental_domain(S.D2AcrossY, (i, 0))
+        _check_fundamental_domain(S.D2diagodd, (i, 64 - i))
+        _check_fundamental_domain(S.D2negdiagodd, (i, i))
+
+
+def test_perp_component_diag():
+    # reference tests/SymmetryTest.cpp:48-62
+    for x in range(10):
+        for y in range(10):
+            if (x + y) % 2 == 1:
+                continue
+            c1 = offsets.perp_component(T.ReflectAcrossYeqX, (x, y))
+            c2 = offsets.perp_component(T.ReflectAcrossYeqNegXP1, (x, y))
+            recombined = ((c1[0] + c2[0]) % 64, (c1[1] + c2[1]) % 64)
+            assert recombined == (x, y), (x, y)
+
+
+def test_intersecting_offsets():
+    # reference tests/SymmetryTest.cpp:64-96 (thinned grid for runtime)
+    def check(s, offset):
+        for x in range(0, 10, 3):
+            for y in range(0, 10, 3):
+                state = board.cell_mask(x, y)
+                symmetricized = offsets.symmetricize(state, s, offset)
+                offs = offsets.intersecting_offsets(state, symmetricized, s)
+                assert bool(board.get_cell(offs, *offset)), (S(s).name, offset, x, y)
+
+    for s in [S.C2, S.C4]:
+        for i in range(0, 10, 3):
+            for j in range(0, 10, 3):
+                check(s, (i, j))
+    for i in range(0, 9, 2):
+        check(S.D2AcrossX, (0, i))
+        check(S.D2AcrossY, (i, 0))
+        check(S.D2negdiagodd, (i, i))
+    for i in range(1, 9, 2):
+        check(S.D2diagodd, (i, 64 - i))
+
+
+def test_symmetry_name_roundtrip():
+    for s in S:
+        assert groups.symmetry_from_string(groups.symmetry_to_string(s)) == s
+    assert groups.symmetry_from_string("garbage") == S.C1
+    assert groups.symmetry_from_string("D4_+2") == S.D4verticaleven
+    assert groups.symmetry_from_string("C2_2") == S.C2verticaleven
+
+
+def test_char_to_transforms():
+    assert groups.char_to_transforms(".") == groups.GROUPS[S.C1]
+    assert groups.char_to_transforms("*") == groups.GROUPS[S.D8]
+    assert len(groups.char_to_transforms("x")) == 4
+
+
+def test_octo_hash_matches_reference_semantics(rng):
+    # Verified against the compiled reference: GetOctoHash is invariant
+    # under translation and ReflectAcrossYeqX but NOT under Rotate90
+    # (XOR pair-cancellation of the 16-transform list; see orbits.py).
+    d = random_dense(rng, p=0.1)
+    d[:, 25:] = False
+    d[25:, :] = False  # keep it compact so bounds never straddle the seam
+    d[2, 3] = True
+    p = board.from_dense(jnp.asarray(d))
+    h = orbits.octo_hash(p)
+    assert orbits.octo_hash(board.move(p, 3, 5)) == h
+    assert orbits.octo_hash(transforms.transform(p, T.ReflectAcrossYeqX)) == h
+
+
+def test_canonical_hash_invariance(rng):
+    d = random_dense(rng, p=0.1)
+    d[:, 25:] = False
+    d[25:, :] = False
+    d[2, 3] = True
+    p = board.from_dense(jnp.asarray(d))
+    h = orbits.canonical_hash(p)
+    for t in [T.Rotate90, T.ReflectAcrossYeqX, T.Rotate180OddBoth,
+              T.ReflectAcrossXEven]:
+        assert orbits.canonical_hash(transforms.transform(p, t)) == h, t.name
+    assert orbits.canonical_hash(board.move(p, 3, 5)) == h
+
+
+def test_symmetry_orbit():
+    blinker = board.from_cells([(1, 0), (1, 1), (1, 2)])
+    orbit = orbits.symmetry_orbit(blinker)
+    assert len(orbit) == 2  # horizontal + vertical
+    block = board.from_cells([(0, 0), (0, 1), (1, 0), (1, 1)])
+    assert len(orbits.symmetry_orbit(block)) == 1
+    glider = board.from_cells([(1, 0), (2, 1), (0, 2), (1, 2), (2, 2)])
+    # this glider phase has trivial symmetry: all 8 D8 images distinct
+    assert len(orbits.symmetry_orbit(glider)) == 8
+    reps = orbits.symmetry_orbit_representatives(glider)
+    assert len(reps) == 8
+
+
+def test_halve_and_skew(rng):
+    d = random_dense(rng, p=0.3)
+    p = board.from_dense(jnp.asarray(d))
+    hx = np.asarray(board.to_dense(lattice.halve_x(p)))
+    assert (hx[:32] == d[0::2]).all() and (hx[32:] == d[0::2]).all()
+    hy = np.asarray(board.to_dense(lattice.halve_y(p)))
+    assert (hy[:, :32] == d[:, 0::2]).all() and (hy[:, 32:] == d[:, 0::2]).all()
+    # skew: cell (x, y) -> (x, y + x); inv_skew undoes it
+    sk = np.asarray(board.to_dense(lattice.skew(p)))
+    for x in [0, 1, 7, 63]:
+        assert (sk[x] == np.roll(d[x], x)).all()
+    back = lattice.inv_skew(lattice.skew(p))
+    assert bool(board.equal(back, p))
+
+
+def test_fingerprint_distinguishes(rng):
+    boards = board.from_dense(jnp.asarray(random_dense(rng, p=0.4, batch=(32,))))
+    a, b = orbits.fingerprint(boards)
+    keys = set(zip(np.asarray(a).tolist(), np.asarray(b).tolist()))
+    assert len(keys) == 32
