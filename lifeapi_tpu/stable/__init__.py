@@ -1,0 +1,3 @@
+from . import complete, host, options, propagate, ternary  # noqa: F401
+from .complete import CompletionResult, complete_stable, complete_stable_beam  # noqa: F401
+from .propagate import Stable  # noqa: F401

@@ -1,0 +1,278 @@
+"""Still-life completion search: find a stable background consistent with a
+partial board.
+
+Two engines with the same result contract as the reference
+``CompleteStable`` (LifeStable.hpp:1340-1458: return *a* valid still life,
+minimal population when ``minimise``):
+
+* :func:`complete_stable` — host-side DFS branch-and-bound, a faithful
+  counterpart of the reference recursion, running on the NumPy kernel
+  mirror.  The correctness oracle and the single-problem API.
+* :func:`complete_stable_beam` — the TPU-native engine: a batched frontier
+  (beam) search where thousands of branch candidates propagate per kernel
+  call under jit (SURVEY.md section 7 "batched best-first/beam search").
+"""
+
+from __future__ import annotations
+
+import enum
+import time
+from typing import NamedTuple
+
+import numpy as np
+
+from . import options as opt
+from .host import HostStable, count9, zoi
+
+
+class CompletionResult(enum.Enum):
+    COMPLETED = 0
+    INCONSISTENT = 1
+    TIMEOUT = 2
+
+
+def _first_on(mask):
+    xs, ys = np.nonzero(mask)
+    if len(xs) == 0:
+        return None
+    return int(xs[0]), int(ys[0])
+
+
+def _branch_cell(st: HostStable, settable):
+    """Branch-cell heuristic (reference LifeStable.hpp:1377-1391):
+    vulnerable first, then cells with exactly 2 then 3 unknowns in their
+    window, then anything settable."""
+    cell = _first_on(st.vulnerable() & settable)
+    if cell is not None:
+        return cell
+    unk9 = count9(st.unknown)
+    cell = _first_on(settable & (unk9 == 2))
+    if cell is not None:
+        return cell
+    cell = _first_on(settable & (unk9 == 3))
+    if cell is not None:
+        return cell
+    return _first_on(settable)
+
+
+class _Search:
+    def __init__(self, deadline, minimise, use_seed, seed):
+        self.deadline = deadline
+        self.minimise = minimise
+        self.use_seed = use_seed
+        self.seed = seed
+        self.best = None
+        self.max_pop = np.inf
+
+    def step(self, st: HostStable):
+        """Reference ``CompleteStableStep`` (LifeStable.hpp:1340-1412)."""
+        while True:  # manual tail call for the ON branch (:1409)
+            if time.monotonic() > self.deadline:
+                return CompletionResult.TIMEOUT
+            ok, _ = st.propagate()
+            if not ok:
+                return CompletionResult.INCONSISTENT
+
+            current_pop = int(st.state.sum())
+            if current_pop >= self.max_pop:
+                return CompletionResult.COMPLETED
+
+            dead0_ruled = (st.ruled & opt.DEAD0) != 0
+            settable = st.perturbed_unknowns() & zoi(dead0_ruled)
+            if not settable.any():
+                self.best = st.state.copy()
+                self.max_pop = current_pop
+                return CompletionResult.COMPLETED
+
+            if self.use_seed:
+                seed_zoi = self.seed.copy()
+                while not (settable & seed_zoi).any():
+                    seed_zoi = zoi(seed_zoi)
+                settable = settable & seed_zoi
+
+            cell = _branch_cell(st, settable)
+            if cell is None:
+                return CompletionResult.INCONSISTENT
+
+            mask = np.zeros_like(st.state)
+            mask[cell] = True
+
+            off_branch = st.copy()
+            off_branch.set_off(mask)
+            result = self.step(off_branch)
+            if result == CompletionResult.TIMEOUT:
+                return CompletionResult.TIMEOUT
+            if not self.minimise and result == CompletionResult.COMPLETED:
+                return CompletionResult.COMPLETED
+
+            st.set_on(mask)
+            # loop = tail recursion on the ON branch
+
+
+def complete_stable(st: HostStable, timeout=1.0, minimise=False, use_seed=False,
+                    seed=None):
+    """Reference ``CompleteStable`` (LifeStable.hpp:1414-1458).  Returns
+    (CompletionResult, dense bool[64, 64] best still life)."""
+    empty = np.zeros((64, 64), bool)
+    if not st.state.any():
+        return CompletionResult.COMPLETED, empty
+    if not st.unknown.any():
+        return CompletionResult.COMPLETED, st.state.copy()
+
+    deadline = time.monotonic() + timeout
+    search = _Search(deadline, minimise, use_seed, seed if seed is not None else empty)
+
+    result = CompletionResult.TIMEOUT
+    search_area = zoi(st.state)
+    while (st.unknown & ~search_area).any():
+        search_area = zoi(search_area)
+        copy = st.copy()
+        copy.unknown &= search_area
+        result = search.step(copy)
+        if (search.best is not None and search.best.any()) or time.monotonic() > deadline:
+            break
+    else:
+        copy = st.copy()
+        result = search.step(copy)
+
+    best_empty = search.best is None or not search.best.any()
+    if result == CompletionResult.TIMEOUT and best_empty:
+        return CompletionResult.TIMEOUT, empty
+    if result == CompletionResult.INCONSISTENT and best_empty:
+        return CompletionResult.INCONSISTENT, empty
+
+    if minimise:
+        big = zoi(zoi(zoi(search_area)))
+        copy = st.copy()
+        copy.unknown &= big
+        search.use_seed = True
+        search.seed = st.state | (search.best if search.best is not None else empty)
+        search.step(copy)
+
+    return CompletionResult.COMPLETED, (
+        search.best if search.best is not None else empty
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batched TPU beam search
+# ---------------------------------------------------------------------------
+
+
+class BeamResult(NamedTuple):
+    found: "np.ndarray"  # bool[B]
+    best: "np.ndarray"  # bool[B, 64, 64]
+    best_pop: "np.ndarray"  # int32[B]
+
+
+def complete_stable_beam(stable, frontier=8, iters=192, minimise=True):
+    """Batched frontier search over ``[B]`` independent problems.
+
+    Each problem keeps a frontier of up to ``frontier`` candidate partial
+    boards; every iteration propagates ALL candidates in one batched
+    fixpoint, records completed leaves into a per-problem incumbent
+    (population-minimal if ``minimise``), and replaces each active
+    candidate by its OFF/ON children on the heuristically chosen branch
+    cell.  Children beyond capacity are kept by lowest population.  This
+    trades the reference's DFS order for breadth — thousands of branches
+    advance per kernel call (SURVEY.md section 7).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from . import propagate as P
+
+    st = stable
+    B = st.state.shape[0]
+    F = frontier
+    N = 64
+
+    def tile(x):
+        return jnp.broadcast_to(x[:, None], (B, F) + x.shape[1:])
+
+    states = tile(st.state)
+    unknowns = tile(st.unknown)
+    ruleds = tile(st.ruled)
+    active = jnp.zeros((B, F), bool).at[:, 0].set(True)
+
+    best = jnp.zeros((B, N, N), bool)
+    best_pop = jnp.full((B,), jnp.iinfo(jnp.int32).max, jnp.int32)
+    found = jnp.zeros((B,), bool)
+
+    def body(carry, _):
+        states, unknowns, ruleds, active, best, best_pop, found = carry
+        cur = P.Stable(states, unknowns, ruleds)
+        res = P.propagate(cur)
+        cur = res.stable
+        ok = active & res.consistent
+
+        pop = jnp.sum(cur.state, axis=(-2, -1)).astype(jnp.int32)
+        pruned = ok & (pop >= best_pop[:, None])
+        ok = ok & ~pruned
+
+        dead0_ruled = (cur.ruled & opt.DEAD0) != 0
+        settable = P.zoi_dense(dead0_ruled) & (cur.ruled != 0) & cur.unknown
+        is_leaf = ok & ~jnp.any(settable, axis=(-2, -1))
+
+        # record the best leaf of this round per problem
+        leaf_pop = jnp.where(is_leaf, pop, jnp.iinfo(jnp.int32).max)
+        which = jnp.argmin(leaf_pop, axis=1)
+        round_pop = jnp.take_along_axis(leaf_pop, which[:, None], axis=1)[:, 0]
+        round_state = jnp.take_along_axis(
+            cur.state, which[:, None, None, None], axis=1
+        )[:, 0]
+        better = round_pop < best_pop
+        best = jnp.where(better[:, None, None], round_state, best)
+        best_pop = jnp.where(better, round_pop, best_pop)
+        found = found | better
+
+        ok = ok & ~is_leaf
+
+        # branch-cell heuristic (reference LifeStable.hpp:1377-1391)
+        unk9 = P.count9(cur.unknown)
+        vuln = P.vulnerable(cur)
+        prio = (
+            jnp.where(vuln & settable, 4, 0)
+            | jnp.where(settable & (unk9 == 2), 3, 0)
+            | jnp.where(settable & (unk9 == 3), 2, 0)
+            | jnp.where(settable, 1, 0)
+        )
+        flat = prio.reshape(B, F, N * N)
+        cell = jnp.argmax(flat, axis=-1)
+        cell_mask = jax.nn.one_hot(cell, N * N, dtype=bool).reshape(B, F, N, N)
+        cell_mask = cell_mask & ok[..., None, None]
+
+        off_child = P.set_off(cur, cell_mask)
+        on_child = P.set_on(cur, cell_mask)
+
+        # 2F candidates -> keep F best (active first, then lower pop)
+        cand_state = jnp.concatenate([off_child.state, on_child.state], axis=1)
+        cand_unknown = jnp.concatenate([off_child.unknown, on_child.unknown], axis=1)
+        cand_ruled = jnp.concatenate([off_child.ruled, on_child.ruled], axis=1)
+        cand_active = jnp.concatenate([ok, ok], axis=1)
+        cand_pop = jnp.concatenate([pop, pop + 1], axis=1)
+        score = jnp.where(cand_active, cand_pop, jnp.iinfo(jnp.int32).max)
+        order = jnp.argsort(score, axis=1)[:, :F]
+        take = lambda x: jnp.take_along_axis(
+            x, order.reshape(B, F, *([1] * (x.ndim - 2))), axis=1
+        )
+        states = take(cand_state)
+        unknowns = take(cand_unknown)
+        ruleds = take(cand_ruled)
+        active = jnp.take_along_axis(cand_active, order, axis=1)
+
+        return (states, unknowns, ruleds, active, best, best_pop, found), None
+
+    @jax.jit
+    def run(states, unknowns, ruleds, active, best, best_pop, found):
+        carry = (states, unknowns, ruleds, active, best, best_pop, found)
+
+        def loop_body(i, carry):
+            new_carry, _ = body(carry, None)
+            return new_carry
+
+        return jax.lax.fori_loop(0, iters, loop_body, carry)
+
+    out = run(states, unknowns, ruleds, active, best, best_pop, found)
+    _, _, _, _, best, best_pop, found = out
+    return BeamResult(np.asarray(found), np.asarray(best), np.asarray(best_pop))
