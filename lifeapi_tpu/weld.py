@@ -1,0 +1,318 @@
+"""LifeWeld: stepping catalysts without their full stator.
+
+Counterpart of reference LifeWeld.hpp:18-404.  Stores per-cell *frozen*
+neighbour counts (a 3-bit field) that are added to the live neighbour
+counts during stepping, so a catalyst's boundary behaves as if the deleted
+stator were present.  Only non-active cells should carry frozen counts.
+
+Representation: packed boards for ``state`` and the frozen bit-planes
+(``frozen2/1/0``), exactly mirroring the reference, so stepping stays on
+the bit-parallel path.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .core import board as B
+from .core import convolve as conv
+from .core import step as S
+from .target import LifeTarget
+
+
+class LifeWeld(NamedTuple):
+    state: jax.Array
+    frozen2: jax.Array
+    frozen1: jax.Array
+    frozen0: jax.Array
+
+    @staticmethod
+    def from_state(state):
+        e = jnp.zeros_like(state)
+        return LifeWeld(state, e, e, e)
+
+    def all_frozen(self):
+        """Reference LifeWeld.hpp:40."""
+        return self.frozen2 | self.frozen1 | self.frozen0
+
+    def __or__(self, other):
+        return LifeWeld(
+            self.state | other.state,
+            self.frozen2 | other.frozen2,
+            self.frozen1 | other.frozen1,
+            self.frozen0 | other.frozen0,
+        )
+
+    def moved(self, dx, dy):
+        return LifeWeld(*(B.move(p, dx, dy) for p in self))
+
+    def transformed(self, t):
+        from .symmetry import transforms
+
+        return LifeWeld(*(transforms.transform(p, t) for p in self))
+
+    def equal(self, other):
+        return (
+            B.equal(self.state, other.state)
+            & B.equal(self.frozen2, other.frozen2)
+            & B.equal(self.frozen1, other.frozen1)
+            & B.equal(self.frozen0, other.frozen0)
+        )
+
+
+def from_required(state, required):
+    """Strip stator cells, recording their neighbour contributions as
+    frozen counts (reference ``FromRequired``, LifeWeld.hpp:133-159)."""
+    active = B.zoi(state) & ~required
+    stator = state & ~B.zoi(active)
+
+    new_state = state & ~stator
+
+    frozen = B.zoi(active) & required
+    frozen = frozen | (S.step(new_state) & ~new_state)
+
+    _, bit2, bit1, bit0 = S.neighbour_counts(stator)
+    return LifeWeld(new_state, bit2 & frozen, bit1 & frozen, bit0 & frozen)
+
+
+def step(weld: LifeWeld):
+    """Count neighbours, ripple-add the frozen counts, apply B3/S23
+    (reference ``Step``, LifeWeld.hpp:169-186)."""
+    _, bit2, bit1, bit0 = S.neighbour_counts(weld.state)
+    sum0, carry0 = S.half_add(bit0, weld.frozen0)
+    sum1, carry1 = S.full_add(bit1, weld.frozen1, carry0)
+    sum2, _ = S.full_add(bit2, weld.frozen2, carry1)
+    new_state = (sum0 ^ sum2) & (sum1 ^ sum2) & (weld.state | sum0)
+    return weld._replace(state=new_state)
+
+
+def step_n(weld: LifeWeld, n):
+    def body(w, _):
+        return step(w), None
+
+    out, _ = jax.lax.scan(body, weld, None, length=n)
+    return out
+
+
+def to_target(weld: LifeWeld):
+    """Recovery-detection target (reference ``ToTarget``,
+    LifeWeld.hpp:188-191)."""
+    non_frozen = weld.state & ~weld.all_frozen()
+    return LifeTarget(weld.state, B.zoi(non_frozen) & ~weld.state)
+
+
+def interaction_counts(weld: LifeWeld):
+    """Reference LifeWeld.hpp:193-204: plain interaction counts masked to
+    the non-frozen ZOI."""
+    out1, out2, out_more = S.interaction_counts(weld.state)
+    nf_zoi = B.zoi(weld.state & ~weld.all_frozen())
+    return out1 & nf_zoi, out2 & nf_zoi, out_more & nf_zoi
+
+
+def interaction_offsets(a: LifeWeld, b: LifeWeld):
+    """Frozen-aware variant of InteractionOffsets (reference
+    LifeWeld.hpp:206-245): interactions involving frozen boundary cells are
+    ignored."""
+
+    def masks(state):
+        bit3, bit2, bit1, bit0 = S.neighbour_counts(state)
+        out1 = ~bit3 & ~bit2 & ~bit1 & bit0
+        out2 = ~bit3 & ~bit2 & bit1 & ~bit0
+        out3 = ~bit3 & ~bit2 & bit1 & bit0
+        ge1 = bit3 | bit2 | bit1 | bit0
+        ge2 = bit3 | bit2 | bit1
+        ge4 = bit2 | bit3
+        return out1, out2, out3, ge1, ge2, ge4
+
+    a_state = a.state
+    a_ignored = ~B.zoi(a.state & ~a.all_frozen())
+    a1, a2, a3, a_ge1, a_ge2, a_ge4 = masks(a_state)
+
+    b_state = B.mirrored(b.state)
+    b_ignored = ~B.mirrored(B.zoi(b.state & ~b.all_frozen()))
+    b1, b2, b3, b_ge1, b_ge2, b_ge4 = masks(b_state)
+
+    pairs = [
+        (a_state, b_state),
+        (a1 & ~a_state & ~a_ignored, b2 & ~b_state & ~a_ignored),
+        (b1 & ~b_state & ~b_ignored, a2 & ~a_state & ~b_ignored),
+        (a3 & a_state & ~a_ignored, b_ge2 & ~b_state & ~b_ignored),
+        (a_ge4 & a_state & ~a_ignored, b_ge1 & ~b_state & ~b_ignored),
+        (b3 & b_state & ~b_ignored, a_ge2 & ~a_state & ~a_ignored),
+        (b_ge4 & b_state & ~b_ignored, a_ge1 & ~a_state & ~a_ignored),
+    ]
+    lefts = jnp.stack([p[0] for p in pairs])
+    rights = jnp.stack([p[1] for p in pairs])
+    counts = conv.convolve_counts(lefts, rights)
+    return B.from_dense(jnp.any(counts > 0, axis=0))
+
+
+def to_stable(weld: LifeWeld):
+    """Convert to a partial still-life with option restrictions derived
+    from the frozen counts (reference ``ToStable``, LifeWeld.hpp:279-325)."""
+    import numpy as np
+
+    from .stable import options as opt
+    from .stable import propagate as P
+
+    planes = S.neighbour_counts(weld.state)
+    frozen_planes = (jnp.zeros_like(weld.frozen2), weld.frozen2, weld.frozen1,
+                     weld.frozen0)
+    sums = S.add_counts(planes, frozen_planes)
+
+    frozen = weld.all_frozen()
+    nf_zoi = B.zoi(weld.state & ~frozen)
+
+    st = P.make(
+        state=B.to_dense(weld.state),
+        unknown=jnp.ones(B.to_dense(weld.state).shape, bool),
+    )
+    st = P.set_on(st, B.to_dense(weld.state))
+    st = P.set_off(st, B.to_dense(~weld.state & nf_zoi))
+
+    def restrict(cells_packed, keep_mask):
+        return P.restrict_cells(st, B.to_dense(cells_packed), keep_mask)
+
+    # the sum includes the center square (reference LifeWeld.hpp:307)
+    for count, keep in [
+        (3, opt.LIVE2),
+        (4, opt.LIVE3),
+    ]:
+        cells = frozen & weld.state & S.with_exactly(sums, count)
+        st = P.restrict_cells(st, B.to_dense(cells), keep)
+    for count, keep in [
+        (1, opt.DEAD1),
+        (2, opt.DEAD2),
+        (4, opt.DEAD4),
+        (5, opt.DEAD5),
+        (6, opt.DEAD6),
+    ]:
+        cells = frozen & ~weld.state & S.with_exactly(sums, count)
+        st = P.restrict_cells(st, B.to_dense(cells), keep)
+    return st
+
+
+def to_stable_with_history(weld: LifeWeld, active, duration, mask=None):
+    """Replay a reaction for ``duration`` steps, restricting stable options
+    so required births happen and spurious ones don't (reference
+    ``ToStable(active, duration, mask)``, LifeWeld.hpp:327-400)."""
+    from .stable import options as opt
+    from .stable import propagate as P
+
+    if mask is None:
+        mask = B.full()
+
+    st = to_stable(weld)
+
+    # pass 1: region that was ever active
+    ever_active = jnp.zeros_like(weld.state)
+    current = weld._replace(state=weld.state | active)
+    for _ in range(duration):
+        ever_active = ever_active | (weld.state ^ current.state)
+        current = step(current)
+
+    st = P.set_off(st, B.to_dense(mask & ~weld.state & ever_active))
+
+    # pass 2: births must happen, spurious ones must not
+    state_counts = S.neighbour_counts(weld.state)
+    current = weld._replace(state=weld.state | active)
+    for _ in range(duration):
+        nxt = step(current)
+        stay_dead = ~weld.state & ~current.state & ~nxt.state
+        gets_born = ~weld.state & ~current.state & nxt.state
+        cur_counts = S.neighbour_counts(current.state)
+
+        def restrict(st, cells, keep):
+            return P.restrict_cells(st, B.to_dense(mask & cells), keep)
+
+        we = lambda planes, n: S.with_exactly(planes, n)
+        st = restrict(st, gets_born & we(cur_counts, 3) & we(state_counts, 0), opt.DEAD0)
+        st = restrict(st, gets_born & we(cur_counts, 3) & we(state_counts, 1), opt.DEAD1)
+        st = restrict(st, gets_born & we(cur_counts, 3) & we(state_counts, 2), opt.DEAD2)
+
+        st = restrict(st, stay_dead & we(cur_counts, 1) & we(state_counts, 0), 0xFF & ~opt.DEAD2)
+        st = restrict(st, stay_dead & we(cur_counts, 2) & we(state_counts, 0), 0xFF & ~opt.DEAD1)
+        st = restrict(st, stay_dead & we(cur_counts, 2) & we(state_counts, 1), 0xFF & ~opt.DEAD2)
+
+        st = restrict(st, stay_dead & we(cur_counts, 1) & we(state_counts, 2), 0xFF & ~opt.DEAD4)
+        st = restrict(st, stay_dead & we(cur_counts, 0) & we(state_counts, 2), 0xFF & ~opt.DEAD5)
+
+        st = restrict(st, stay_dead & we(cur_counts, 3) & we(state_counts, 4), 0xFF & ~opt.DEAD4)
+        st = restrict(st, stay_dead & we(cur_counts, 2) & we(state_counts, 4), 0xFF & ~opt.DEAD5)
+        st = restrict(st, stay_dead & we(cur_counts, 1) & we(state_counts, 4), 0xFF & ~opt.DEAD6)
+
+        st = restrict(st, stay_dead & we(cur_counts, 3) & we(state_counts, 5), 0xFF & ~opt.DEAD5)
+        st = restrict(st, stay_dead & we(cur_counts, 2) & we(state_counts, 5), 0xFF & ~opt.DEAD6)
+
+        st = restrict(st, stay_dead & we(cur_counts, 3) & we(state_counts, 6), 0xFF & ~opt.DEAD6)
+
+        current = nxt
+    return st
+
+
+def unweldable_mask(a: LifeWeld, b: LifeWeld, starting_good=None,
+                    starting_bad=None, solve_timeout=0.05):
+    """For every untested relative placement, weld the two patterns and try
+    to complete a stable background; INCONSISTENT placements are bad — an
+    expensive compatibility prefilter (reference ``UnweldableMask``,
+    LifeWeld.hpp:247-277).  Host-driven loop over offsets; each solve is
+    the DFS completer."""
+    import numpy as np
+
+    from .stable import complete as C
+    from .stable import host as HO
+
+    known_good = starting_good if starting_good is not None else B.empty()
+    known_bad = interaction_offsets(a, b)
+    if starting_bad is not None:
+        known_bad = known_bad | starting_bad
+
+    to_test = ~known_good & ~known_bad
+    bad_dense = np.array(B.to_dense(known_bad))
+    for x, y in B.on_cells(to_test):
+        placed = a | b.moved(x, y)
+        st = to_stable(placed)
+        host_st = HO.HostStable(
+            np.asarray(st.state), np.asarray(st.unknown), np.asarray(st.ruled)
+        )
+        result, _ = C.complete_stable(host_st, timeout=solve_timeout, minimise=False)
+        if result == C.CompletionResult.INCONSISTENT:
+            bad_dense[x, y] = True
+    return B.from_dense(jnp.asarray(bad_dense))
+
+
+def to_bellman_rle(weld: LifeWeld, active=None):
+    """Reference ``BellmanRLE`` (LifeWeld.hpp:121-131)."""
+    import numpy as np
+
+    from .core import rle as rle_mod
+
+    if active is None:
+        active = B.empty()
+    frozen = weld.all_frozen()
+    marked = B.zoi(weld.state & frozen) & ~B.zoi(weld.state & ~frozen)
+
+    a = np.asarray(B.to_dense(active))
+    s = np.asarray(B.to_dense(weld.state))
+    m = np.asarray(B.to_dense(marked))
+
+    def char(x, y):
+        if a[x, y] and not s[x, y]:
+            return "A"
+        if s[x, y]:
+            return "C"
+        if m[x, y]:
+            return "E"
+        return "."
+
+    return rle_mod.write_rle_planes(char)
+
+
+def to_history(weld: LifeWeld):
+    """Debug view (reference ``ToHistory``, LifeWeld.hpp:402-404)."""
+    from .history import LifeHistory
+
+    return LifeHistory.create(state=weld.state, marked=weld.all_frozen())

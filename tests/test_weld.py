@@ -1,0 +1,113 @@
+import numpy as np
+import jax.numpy as jnp
+
+from lifeapi_tpu import weld as W
+from lifeapi_tpu.core import board, rle, step
+from lifeapi_tpu.stable import complete as C
+from lifeapi_tpu.stable import host as HO
+from lifeapi_tpu.stable import propagate as P
+
+# the reference test fixtures (tests/LifeWeldTest.cpp), parsed with correct
+# bare-$ semantics (the snapshot test relied on the buggy ConstantParse,
+# SURVEY.md section 2.7)
+STILL_LIFES = [
+    "2b2o$bobo$bo$2o!",
+    "2o$2o!",
+]
+
+REQUIRED_PAIRS = [
+    ("2b2o$bobo$bo$2o!", "2b2o$b3o$b4o$5o$4o$4o!", (-1, -1)),
+    (
+        "2o$o2bob2o$b3obobo$5bobo$b5ob3o$bo4bo3bo$4bobo2b2o$4b2o!",
+        "4o$5o2bo$4o$5o4bo$b5ob5o$b12o$b12o$b12o$4b9o$4b4o!",
+        (-1, -1),
+    ),
+    (
+        "4b2ob2o$3bobobobo$b3o3bobo$o4bobob3o$b3ob2obo3bo$3bo4bo2b2o$5b3o$4b2o!",
+        "4b2o$3b2o2bo2b2o$b4o6bo$6obob5o$15o$15o$b14o$3b12o$4b6o$4b4o!",
+        (-1, -1),
+    ),
+]
+
+
+def _parse_centered(s, dx=0, dy=0):
+    # parse then move into mid-board so ZOIs don't straddle the seam
+    return board.move(rle.parse(s), 20 + dx, 20 + dy)
+
+
+def test_weld_of_still_life_is_step_invariant():
+    # reference LifeWeldTest.StableTest intent
+    for s in STILL_LIFES:
+        st = _parse_centered(s)
+        w = W.LifeWeld.from_state(st)
+        assert bool(W.step(w).equal(w)), s
+
+
+def test_from_required_is_step_invariant():
+    # reference LifeWeldTest.RequiredTest intent
+    for s, req, (dx, dy) in REQUIRED_PAIRS:
+        state = _parse_centered(s)
+        required = _parse_centered(req, dx, dy)
+        w = W.from_required(state, required)
+        assert bool(W.step(w).equal(w)), s
+        # the stator was actually stripped somewhere (frozen counts exist)
+        assert not bool(board.is_empty(w.all_frozen())), s
+
+
+def test_weld_step_matches_plain_step_without_frozen(rng):
+    from oracle import random_dense
+
+    d = random_dense(rng, p=0.3)
+    st = board.from_dense(jnp.asarray(d))
+    w = W.LifeWeld.from_state(st)
+    assert bool(board.equal(W.step(w).state, step.step(st)))
+
+
+def test_weld_step_n():
+    glider = board.move(rle.parse("bob$2bo$3o!"), 30, 30)
+    w = W.LifeWeld.from_state(glider)
+    w4 = W.step_n(w, 4)
+    assert bool(board.equal(w4.state, board.move(glider, 1, 1)))
+
+
+def test_to_target_and_interaction_counts():
+    st = _parse_centered(STILL_LIFES[0])
+    req = _parse_centered("2b2o$b3o$b4o$5o$4o$4o!", -1, -1)
+    w = W.from_required(st, req)
+    t = W.to_target(w)
+    assert bool(board.contains(w.state, t.wanted))
+    out1, out2, out_more = W.interaction_counts(w)
+    # masked to the non-frozen ZOI
+    nf_zoi = board.zoi(w.state & ~w.all_frozen())
+    assert bool(board.is_empty(out1 & ~nf_zoi))
+
+
+def test_to_stable_is_consistent_and_completable():
+    st = _parse_centered(STILL_LIFES[0])
+    w = W.LifeWeld.from_state(st)
+    stab = W.to_stable(w)
+    res = P.propagate(stab)
+    assert bool(res.consistent)
+    host_st = HO.HostStable(
+        np.asarray(stab.state), np.asarray(stab.unknown), np.asarray(stab.ruled)
+    )
+    result, best = C.complete_stable(host_st, timeout=3.0, minimise=False)
+    assert result == C.CompletionResult.COMPLETED
+
+
+def test_bellman_rle():
+    st = _parse_centered(STILL_LIFES[0])
+    req = _parse_centered("2b2o$b3o$b4o$5o$4o$4o!", -1, -1)
+    w = W.from_required(st, req)
+    s = W.to_bellman_rle(w)
+    assert "C" in s
+
+
+def test_interaction_offsets_frozen_aware():
+    st = _parse_centered(STILL_LIFES[1])  # block
+    w = W.LifeWeld.from_state(st)
+    offs = W.interaction_offsets(w, w)
+    # offset (0,0) overlaps: must be flagged
+    assert bool(board.get_cell(offs, 0, 0))
+    # far-away offsets don't interact
+    assert not bool(board.get_cell(offs, 30, 30))
