@@ -1,0 +1,120 @@
+"""Sharded scenario sweeps with cross-device elite selection.
+
+The multi-host search pattern of the north star: scenarios and candidate
+controls are sharded over the mesh, every device optimizes its local
+candidates, hard-scores them bit-exactly, takes a local top-k, and the
+elite set is exchanged with one small ``all_gather`` (costs ride a
+``psum``-friendly layout).  No parameter server, no NCCL — XLA collectives
+over ICI/DCN only (SURVEY.md section 5.8)."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from ..mpc import solver as solver_mod
+from .mesh import CANDIDATE_AXIS, SCENARIO_AXIS
+
+
+def local_topk(costs, k):
+    """(values, indices) of the k lowest costs."""
+    neg_vals, idx = jax.lax.top_k(-costs, k)
+    return -neg_vals, idx
+
+
+def sharded_candidate_solve(problem, logits0, mesh, iters=60, topk=4,
+                            lr=0.15):
+    """Optimize candidates sharded over BOTH mesh axes for a single
+    problem; return the globally best controls and costs.
+
+    logits0: [C, T, 64, 64] with C divisible by the mesh size.  Flow per
+    device: gradient-optimize local shard -> binarize + hard-score ->
+    local top-k -> all_gather elites over both axes -> global argmin.
+    """
+
+    both = (SCENARIO_AXIS, CANDIDATE_AXIS)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(both),),
+        out_specs=(P(), P(both)),
+        check_vma=False,
+    )
+    def run(logits_local):
+        logits, _ = solver_mod.solve_gradient(
+            logits_local, problem, iters=iters, lr=lr
+        )
+        probs = jax.nn.sigmoid(logits) * problem.control_mask
+        costs, _ = jax.vmap(lambda p: solver_mod.hard_score(p, problem))(probs)
+
+        k = min(topk, costs.shape[0])
+        vals, idx = local_topk(costs, k)
+        elite_probs = probs[idx]
+
+        all_vals = jax.lax.all_gather(vals, both, tiled=True)
+        all_probs = jax.lax.all_gather(elite_probs, both, tiled=True)
+        best = jnp.argmin(all_vals)
+        best_probs = all_probs[best]
+        best_cost = all_vals[best]
+        return (best_cost, best_probs), costs
+
+    (best_cost, best_probs), all_costs = run(logits0)
+    return best_cost, best_probs, all_costs
+
+
+def sharded_scenario_sweep(problems_initial, target, horizon, control_mask,
+                           mesh, key, candidates_per_scenario=8, iters=40,
+                           weights=None):
+    """Many scenarios (initial boards) sharded over the scenario axis, each
+    with a candidate population sharded over the candidate axis.  Returns
+    per-scenario best hard costs and the global champion scenario.
+
+    problems_initial: packed uint32[S, 64, 2]; S divisible by the scenario
+    axis size."""
+    from ..mpc import cost as cost_mod
+
+    weights = weights or cost_mod.CostWeights()
+    T = horizon
+    S = problems_initial.shape[0]
+    C = candidates_per_scenario
+
+    logits0 = solver_mod.init_logits(
+        key, solver_mod.MPCProblem(problems_initial[0], target, T, control_mask,
+                                   weights=weights),
+        S * C,
+    ).reshape(S, C, T, 64, 64)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(SCENARIO_AXIS), P(SCENARIO_AXIS, CANDIDATE_AXIS)),
+        out_specs=(P(SCENARIO_AXIS), P()),
+        check_vma=False,
+    )
+    def run(initial_local, logits_local):
+        def solve_one(initial, logits):
+            problem = solver_mod.MPCProblem(
+                initial, target, T, control_mask, weights=weights
+            )
+            lg, _ = solver_mod.solve_gradient(logits, problem, iters=iters)
+            probs = jax.nn.sigmoid(lg) * control_mask
+            costs, _ = jax.vmap(
+                lambda p: solver_mod.hard_score(p, problem)
+            )(probs)
+            local_best = jnp.min(costs)
+            # combine candidate shards within a scenario
+            return jax.lax.pmin(local_best, CANDIDATE_AXIS)
+
+        per_scenario = jax.vmap(solve_one)(initial_local, logits_local)
+        # global champion across the scenario axis
+        all_best = jax.lax.all_gather(
+            jnp.min(per_scenario), SCENARIO_AXIS, tiled=False
+        )
+        return per_scenario, jnp.min(all_best)
+
+    return run(problems_initial, logits0)

@@ -1,0 +1,125 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lifeapi_tpu.core import board, rle, step
+from lifeapi_tpu.mpc import CostWeights, MPCProblem, soft, solver
+from lifeapi_tpu.target import LifeTarget, hamming_cost
+
+N = 64
+
+
+def _glider():
+    return board.move(rle.parse("bob$2bo$3o!"), 28, 28)
+
+
+def test_soft_step_tracks_hard_step_at_low_tau():
+    g = _glider()
+    p = board.to_dense(g).astype(jnp.float32)
+    hard = g
+    for _ in range(8):
+        p = soft.soft_step(p, tau=0.05)
+        hard = step.step(hard)
+    got = np.asarray(p > 0.5)
+    expect = np.asarray(board.to_dense(hard))
+    assert (got == expect).all()
+
+
+def test_hard_rollout_with_toggles():
+    g = _glider()
+    T = 4
+    toggles = jnp.zeros((T, 64, 2), jnp.uint32)
+    out = soft.hard_rollout(g, toggles)
+    assert bool(board.equal(out, step.step_n(g, T)))
+    # toggling the whole glider off at step 0 leaves an empty board
+    toggles = toggles.at[0].set(g)
+    out = soft.hard_rollout(g, toggles)
+    assert bool(board.is_empty(out))
+
+
+def _toy_problem(horizon=6):
+    # steer an empty board to contain a block at the horizon
+    target_state = board.move(rle.parse("2o$2o!"), 31, 31)
+    target = LifeTarget.from_state(target_state)
+    mask = jnp.zeros((N, N), bool).at[24:40, 24:40].set(True)
+    return MPCProblem(
+        initial=board.empty(),
+        target=target,
+        horizon=horizon,
+        control_mask=mask,
+        weights=CostWeights(target=1.0, control=0.01),
+    )
+
+
+def test_gradient_solver_reaches_target():
+    problem = _toy_problem()
+    key = jax.random.key(0)
+    sol = solver.solve(problem, key, n_candidates=8, iters=120)
+    # cost = hamming + small control effort; reaching the block exactly
+    # means hamming contribution 0
+    ham = hamming_cost(sol.final_board, problem.target)
+    assert int(ham) == 0, int(ham)
+
+
+def test_cem_solver_reaches_target():
+    # CEM with a focused control mask (derivative-free refinement layer;
+    # in production it is seeded from a gradient solve via mean0)
+    target_state = board.move(rle.parse("2o$2o!"), 31, 31)
+    target = LifeTarget.from_state(target_state)
+    mask = jnp.zeros((N, N), bool).at[30:34, 30:34].set(True)
+    problem = MPCProblem(
+        initial=board.empty(), target=target, horizon=2, control_mask=mask,
+        weights=CostWeights(target=1.0, control=0.01),
+    )
+    key = jax.random.key(1)
+    mean, best_cost, best_sample, history = solver.solve_cem(
+        problem, key, pop=128, iters=12, elites=8, init_p=0.25
+    )
+    toggles = soft.binarize_controls(best_sample.astype(jnp.float32))
+    final = soft.hard_rollout(problem.initial, toggles)
+    assert int(hamming_cost(final, problem.target)) == 0
+
+
+def test_cem_seeded_from_gradient():
+    problem = _toy_problem(horizon=4)
+    key = jax.random.key(7)
+    sol = solver.solve(problem, key, n_candidates=8, iters=100)
+    mean, best_cost, best_sample, _ = solver.solve_cem(
+        problem, jax.random.key(8), pop=64, iters=5, elites=8,
+        mean0=sol.control_probs,
+    )
+    toggles = soft.binarize_controls(best_sample.astype(jnp.float32))
+    final = soft.hard_rollout(problem.initial, toggles)
+    assert int(hamming_cost(final, problem.target)) == 0
+
+
+def test_sqp_solver_improves():
+    problem = _toy_problem()
+    key = jax.random.key(2)
+    logits0 = solver.init_logits(key, problem, 4)
+    start = jax.vmap(lambda l: solver.soft_objective(l, problem))(logits0)
+    logits, _ = solver.solve_gradient(logits0, problem, iters=30)
+    logits = solver.solve_sqp(logits, problem, iters=3, cg_iters=8)
+    end = jax.vmap(lambda l: solver.soft_objective(l, problem))(logits)
+    assert float(end.min()) < float(start.min())
+
+
+def test_stable_background_constraint():
+    # a block in the protected region must survive the episode
+    block = board.move(rle.parse("2o$2o!"), 10, 10)
+    protected = board.to_dense(board.zoi(block))
+    target = LifeTarget.from_state(board.move(rle.parse("2o$2o!"), 40, 40))
+    mask = jnp.zeros((N, N), bool).at[36:46, 36:46].set(True)
+    problem = MPCProblem(
+        initial=block,
+        target=target,
+        horizon=4,
+        control_mask=mask,
+        protected=protected,
+        background=block,
+        weights=CostWeights(target=1.0, control=0.01, stable=5.0),
+    )
+    sol = solver.solve(problem, jax.random.key(3), n_candidates=8, iters=80)
+    # block untouched, target reached
+    assert bool(board.contains(sol.final_board, block))
+    assert int(hamming_cost(sol.final_board, problem.target)) == 0

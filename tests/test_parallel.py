@@ -1,0 +1,68 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lifeapi_tpu.core import board, rle
+from lifeapi_tpu.mpc import CostWeights, MPCProblem, solver
+from lifeapi_tpu.parallel import elite, make_mesh
+from lifeapi_tpu.target import LifeTarget
+
+N = 64
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(n_scenario=4, n_candidate=2)
+
+
+def _problem(horizon=4):
+    target_state = board.move(rle.parse("2o$2o!"), 31, 31)
+    target = LifeTarget.from_state(target_state)
+    mask = jnp.zeros((N, N), bool).at[28:36, 28:36].set(True)
+    return MPCProblem(
+        initial=board.empty(),
+        target=target,
+        horizon=horizon,
+        control_mask=mask,
+        weights=CostWeights(target=1.0, control=0.01),
+    )
+
+
+def test_mesh_shape(mesh8):
+    assert mesh8.devices.shape == (4, 2)
+    assert mesh8.axis_names == ("scenario", "candidate")
+
+
+def test_sharded_candidate_solve_matches_local(mesh8):
+    problem = _problem()
+    key = jax.random.key(0)
+    logits0 = solver.init_logits(key, problem, 16)
+    best_cost, best_probs, all_costs = elite.sharded_candidate_solve(
+        problem, logits0, mesh8, iters=60, topk=2
+    )
+    assert all_costs.shape == (16,)
+    assert float(best_cost) == float(jnp.min(all_costs))
+    # the sharded elite is a real solution: rescoring it reproduces the cost
+    cost_again, _ = solver.hard_score(best_probs, problem)
+    assert float(cost_again) == float(best_cost)
+
+
+def test_sharded_scenario_sweep(mesh8):
+    problem = _problem()
+    initials = jnp.broadcast_to(board.empty(), (8, N, 2))
+    per_scenario, champion = elite.sharded_scenario_sweep(
+        initials,
+        problem.target,
+        problem.horizon,
+        problem.control_mask,
+        mesh8,
+        jax.random.key(1),
+        candidates_per_scenario=4,
+        iters=40,
+        weights=problem.weights,
+    )
+    assert per_scenario.shape == (8,)
+    assert float(champion) == float(jnp.min(per_scenario))
