@@ -80,23 +80,27 @@ def test_hamming_cost():
 
 
 def test_interaction_offsets_predict_then_simulate():
-    # The reference's EaterSelfInteractionTest intent
-    # (tests/InteractionTest.cpp:7-28): InteractionOffsets must predict
-    # exactly whether placing the second pattern at an offset changes the
-    # next step of the union.
-    eater = board.from_cells(EATER)
+    # The reference's EaterSelfInteractionTest
+    # (tests/InteractionTest.cpp:7-28): for every non-overlapping placement,
+    # InteractionOffsets must predict EXACTLY whether the union of the two
+    # still lifes fails to be still.
+    eater = board.move(rle_parse_eater(), 20, 20)
     offsets_board = convolve.interaction_offsets(eater, eater)
-    nxt_e = step.step(eater)
-    for dx in range(-8, 8):
-        for dy in range(-8, 8):
+    for dx in range(-10, 10):
+        for dy in range(-10, 10):
             moved = board.move(eater, dx, dy)
+            if not bool(board.are_disjoint(eater, moved)):
+                continue
             together = eater | moved
-            after = step.step(together)
-            quiet = bool(board.equal(after, nxt_e | board.move(nxt_e, dx, dy))) and \
-                bool(board.are_disjoint(eater, moved))
+            interacts = not bool(board.equal(step.step(together), together))
             predicted = bool(board.get_cell(offsets_board, dx, dy))
-            if not quiet:
-                assert predicted, (dx, dy)
+            assert predicted == interacts, (dx, dy)
+
+
+def rle_parse_eater():
+    from lifeapi_tpu.core import rle
+
+    return rle.parse("2b2o$bobo$bo$2o!")
 
 
 def test_component_containing():
