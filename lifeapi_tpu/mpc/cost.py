@@ -18,7 +18,7 @@ from ..target import LifeTarget, hamming_cost
 
 class CostWeights(NamedTuple):
     target: float = 1.0
-    control: float = 0.05
+    control: float = 0.01
     stable: float = 0.5
 
 
