@@ -43,19 +43,27 @@ def main():
                           "error": "kernel mismatch vs scan oracle"}))
         return
 
+    import numpy as np
+
     def run(l, h):
         return step_pallas.rollout_lohi(l, h, T)
 
-    out = run(lo, hi)
-    jax.block_until_ready(out)
+    def timed_chain(reps):
+        """Chain reps calls and force a host readback at the end: on
+        tunneled backends block_until_ready can return before execution, so
+        the readback is the only reliable fence."""
+        l, h = lo, hi
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            l, h = run(l, h)
+        np.asarray(l)  # full materialization on host
+        return time.perf_counter() - t0
 
+    timed_chain(1)  # warm up compile + readback path
     reps = 10 if on_accel else 2
-    t0 = time.perf_counter()
-    l, h = lo, hi
-    for _ in range(reps):
-        l, h = run(l, h)  # chain outputs so nothing is elided
-    jax.block_until_ready((l, h))
-    dt = (time.perf_counter() - t0) / reps
+    base = timed_chain(1)
+    total = timed_chain(reps + 1)
+    dt = max((total - base) / reps, 1e-9)
 
     steps_per_sec = B * T / dt
     print(

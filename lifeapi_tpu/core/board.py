@@ -415,6 +415,37 @@ def buffer_around(board, size_wh):
     return solid_rect_xy(int(b[0]) - rw, int(b[1]) - rh, int(b[2]) + rw, int(b[3]) + rh)
 
 
+def find_set_neighbour(board, cell):
+    """An ON cell in the 3x3 window around ``cell`` (including the cell),
+    or (-1, -1) (reference ``FindSetNeighbour``, LifeAPI.hpp:360-371;
+    same search order)."""
+    x, y = cell
+    directions = [(0, 0), (-1, 0), (1, 0), (0, 1), (0, -1), (-1, -1),
+                  (-1, 1), (1, -1), (1, 1)]
+    import numpy as np
+
+    d = np.asarray(to_dense(board))
+    for dx, dy in directions:
+        cx, cy = torus_wrap(x + dx), torus_wrap(y + dy)
+        if d[cx, cy]:
+            return (cx, cy)
+    return (-1, -1)
+
+
+def zoi_column(board, i):
+    """64-bit pair (lo, hi): the vertical ZOI of columns i-1, i, i+1
+    (reference ``ZOIColumn``, LifeAPI.hpp:593-596)."""
+    col = (
+        board[..., torus_wrap(i - 1), :]
+        | board[..., i, :]
+        | board[..., torus_wrap(i + 1), :]
+    )
+    lo, hi = col[..., 0], col[..., 1]
+    ulo, uhi = bitops.rotl64(lo, hi, 1)
+    dlo, dhi = bitops.rotr64(lo, hi, 1)
+    return lo | ulo | dlo, hi | uhi | dhi
+
+
 def on_cells(board):
     """Host helper: list of (x, y) tuples of ON cells (reference ``OnCells``,
     LifeAPI.hpp:1372-1381), in lexicographic order."""

@@ -55,6 +55,10 @@ class LifeStable:
     def get_options(self, cell):
         return P.get_options(self.data, *cell)
 
+    def singleton_options(self, cell):
+        """Reference ``SingletonOptions`` (LifeStable.hpp:93-96)."""
+        return opt.is_singleton(int(self.get_options(cell)))
+
     def restrict_options(self, cells, options_mask):
         cells = B.to_dense(cells) if cells.dtype == jnp.uint32 else cells
         return LifeStable(P.restrict_cells(self.data, cells, options_mask))

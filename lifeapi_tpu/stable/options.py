@@ -52,6 +52,20 @@ OPTION_SEMANTICS = {
 OFF, ON, UNKNOWN = 0, 1, 2
 
 
+def options_highest(mask_possible):
+    """Highest-order set bit of a *possible*-sense options mask (reference
+    ``StableOptionsHighest``, LifeStable.hpp:22-27); 0 for IMPOSSIBLE."""
+    if mask_possible == 0:
+        return 0
+    return 1 << (mask_possible.bit_length() - 1)
+
+
+def is_singleton(mask_possible):
+    """Exactly one option remains (reference ``SingletonOptions``,
+    LifeStable.hpp:93-96)."""
+    return mask_possible != 0 and (mask_possible & (mask_possible - 1)) == 0
+
+
 def possible_neighbourhoods(mask):
     """(center_live, count) pairs still allowed by an options mask (mask
     uses the *possible* sense here: bit set in ``mask`` = ruled OUT)."""

@@ -115,6 +115,9 @@ class LifeState:
     def first_on(self):
         return B.first_on(self.packed)
 
+    def find_set_neighbour(self, cell):
+        return B.find_set_neighbour(self.packed, cell)
+
     def on_cells(self):
         return B.on_cells(self.packed)
 
