@@ -207,8 +207,12 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True):
         ok = active & res.consistent
 
         pop = jnp.sum(cur.state, axis=(-2, -1)).astype(jnp.int32)
-        pruned = ok & (pop >= best_pop[:, None])
-        ok = ok & ~pruned
+        if minimise:
+            # population bound (reference LifeStable.hpp:1351-1355)
+            ok = ok & ~(pop >= best_pop[:, None])
+        else:
+            # first-solution mode: stop working on solved problems
+            ok = ok & ~found[:, None]
 
         dead0_ruled = (cur.ruled & opt.DEAD0) != 0
         settable = P.zoi_dense(dead0_ruled) & (cur.ruled != 0) & cur.unknown

@@ -173,9 +173,6 @@ def to_stable(weld: LifeWeld):
     st = P.set_on(st, B.to_dense(weld.state))
     st = P.set_off(st, B.to_dense(~weld.state & nf_zoi))
 
-    def restrict(cells_packed, keep_mask):
-        return P.restrict_cells(st, B.to_dense(cells_packed), keep_mask)
-
     # the sum includes the center square (reference LifeWeld.hpp:307)
     for count, keep in [
         (3, opt.LIVE2),
