@@ -1,23 +1,51 @@
 #!/usr/bin/env python
 """Headline benchmark: bit-exact 64x64 Life steps/sec/chip.
 
-Runs the fused Pallas rollout kernel on whatever accelerator jax exposes
-(the driver runs this on one real TPU chip) and prints ONE JSON line.
+Runs the fused Pallas rollout kernel (even/odd interleaved packing) on
+whatever accelerator jax exposes and prints ONE JSON line.
+
+Engineering notes:
+* exactly one compiled TPU computation (the rollout kernel) — all packing
+  conversions and the bit-exactness gate run host-side (numpy + the
+  independent native C oracle), because remote-compile backends make every
+  extra jit dispatch expensive;
+* timing is K-call chaining with a host readback fence —
+  ``block_until_ready`` can return before execution completes on tunneled
+  backends, so the readback is the only reliable fence.
 
 Baseline: the reference C++ LifeAPI ``Step`` measured at 5.55e6 steps/s on
-one Xeon 2.1 GHz core (BASELINE.md).  ``vs_baseline`` is the speedup over
-that number.
+one Xeon 2.1 GHz core (BASELINE.md).  ``vs_baseline`` is the speedup.
 """
 
 import json
 import time
 
+import numpy as np
+
 import jax
 
-from lifeapi_tpu.core import board, step
 from lifeapi_tpu.ops import step_pallas
 
 BASELINE_STEPS_PER_SEC = 5.55e6  # reference LifeAPI.hpp:1196-1216, 1 CPU core
+
+
+def _np_expand_even(x):
+    x = x.astype(np.uint32) & np.uint32(0x0000FFFF)
+    x = (x | (x << np.uint32(8))) & np.uint32(0x00FF00FF)
+    x = (x | (x << np.uint32(4))) & np.uint32(0x0F0F0F0F)
+    x = (x | (x << np.uint32(2))) & np.uint32(0x33333333)
+    x = (x | (x << np.uint32(1))) & np.uint32(0x55555555)
+    return x
+
+
+def eo_to_u64(e, o):
+    """even/odd kernel packing [64, B] -> uint64 boards [B, 64] in the
+    reference column layout (for the C oracle)."""
+    e = e.T  # [B, 64]
+    o = o.T
+    lo = _np_expand_even(e & 0xFFFF) | (_np_expand_even(o & 0xFFFF) << np.uint32(1))
+    hi = _np_expand_even(e >> 16) | (_np_expand_even(o >> 16) << np.uint32(1))
+    return lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32))
 
 
 def main():
@@ -25,44 +53,49 @@ def main():
     B = 8192 if on_accel else 512
     T = 512 if on_accel else 32
 
-    from lifeapi_tpu.core import bitops
-
-    key = jax.random.key(0)
-    boards = board.random(key, (B,))
-    lo, hi = step_pallas.to_kernel_layout(boards)
-    e, o = bitops.interleave_split(lo, hi)
-
-    # Correctness gate: kernel must agree with the independent scan path.
-    check = boards[:128]
-    ok = bool(
-        board.equal(
-            step_pallas.rollout(check, steps=16, interpret=not on_accel),
-            step.step_n(check, 16),
-        ).all()
-    )
-    if not ok:
-        print(json.dumps({"metric": "life_steps_per_sec_per_chip", "value": 0.0,
-                          "unit": "steps/s", "vs_baseline": 0.0,
-                          "error": "kernel mismatch vs scan oracle"}))
-        return
-
-    import numpy as np
+    rng = np.random.default_rng(0)
+    e0 = rng.integers(0, 2**32, size=(64, B), dtype=np.uint32)
+    o0 = rng.integers(0, 2**32, size=(64, B), dtype=np.uint32)
+    e = jax.device_put(e0)
+    o = jax.device_put(o0)
 
     def run(a, b):
         return step_pallas.rollout_eo(a, b, T, interpret=not on_accel)
 
+    # warm up (compile) and grab one output for the bit-exactness gate
+    a1, b1 = run(e, o)
+    a1_np = np.asarray(a1)
+    b1_np = np.asarray(b1)
+
+    # bit-exactness: native C oracle steps the same boards T generations
+    try:
+        from lifeapi_tpu.native import build as nb
+
+        n_check = 64
+        start64 = eo_to_u64(e0[:, :n_check], o0[:, :n_check])
+        oracle64 = nb.step_packed64(start64, steps=T)
+        ours64 = eo_to_u64(a1_np[:, :n_check], b1_np[:, :n_check])
+        bit_exact = bool((ours64 == oracle64).all())
+    except Exception as exc:  # oracle build failure should not kill the bench
+        bit_exact = f"oracle unavailable: {exc}"
+
+    if bit_exact is not True:
+        print(json.dumps({
+            "metric": "life_steps_per_sec_per_chip", "value": 0.0,
+            "unit": "steps/s", "vs_baseline": 0.0,
+            "error": f"bit-exactness gate failed: {bit_exact}",
+        }))
+        return
+
     def timed_chain(reps):
-        """Chain reps calls and force a host readback at the end: on
-        tunneled backends block_until_ready can return before execution, so
-        the readback is the only reliable fence."""
         a, b = e, o
         t0 = time.perf_counter()
         for _ in range(reps):
             a, b = run(a, b)
-        np.asarray(a)  # full materialization on host
+        np.asarray(a)  # host readback = execution fence
         return time.perf_counter() - t0
 
-    timed_chain(1)  # warm up compile + readback path
+    timed_chain(1)
     reps = 10 if on_accel else 2
     base = timed_chain(1)
     total = timed_chain(reps + 1)
