@@ -30,12 +30,10 @@ class PlacementResult(NamedTuple):
 
 
 def candidate_offsets(active, catalyst, search_area=None):
-    """Offsets worth trying: translations where the catalyst would interact
-    with the active region at generation 0 are excluded (too close), as are
-    non-interacting-forever ones?  No — the caller wants placements that
-    will interact *eventually*; we return all offsets inside the search
-    area that do NOT overlap/interact immediately (reference search
-    programs use InteractionOffsets to mask immediate collisions)."""
+    """Offsets worth trying: all translations inside the search area that
+    do NOT interact with the active pattern at generation 0 (immediate
+    collisions are useless; reference search programs mask them with
+    InteractionOffsets, LifeAPI.hpp:1066)."""
     immediate = conv.interaction_offsets(active, catalyst)
     area = search_area if search_area is not None else B.full()
     ok = area & ~immediate
