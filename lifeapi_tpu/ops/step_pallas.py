@@ -140,6 +140,72 @@ def _rollout_kernel_eo(e_ref, o_ref, out_e_ref, out_o_ref, *, steps):
     out_o_ref[:] = o
 
 
+def _controlled_kernel_eo(te_ref, to_ref, e_ref, o_ref, out_e_ref, out_o_ref,
+                          *, steps):
+    e = e_ref[:]
+    o = o_ref[:]
+
+    def body(t, carry):
+        ee, oo = carry
+        ee = ee ^ te_ref[t]
+        oo = oo ^ to_ref[t]
+        return step_eo(ee, oo)
+
+    e, o = jax.lax.fori_loop(0, steps, body, (e, o))
+    out_e_ref[:] = e
+    out_o_ref[:] = o
+
+
+@functools.partial(jax.jit, static_argnames=("batch_tile", "interpret"))
+def controlled_rollout_eo(e, o, toggles_e, toggles_o,
+                          batch_tile=DEFAULT_BATCH_TILE, interpret=False):
+    """MPC hard path, fused: per-generation control toggles XORed in, then
+    the bit-exact step — the whole horizon in VMEM (counterpart of
+    mpc.soft.hard_rollout, but one kernel instead of T dispatch rounds).
+
+    e/o: uint32[64, B]; toggles_e/o: uint32[T, 64, B]."""
+    steps, n_cols, b = toggles_e.shape
+    assert n_cols == 64 and e.shape == (64, b)
+    batch_tile = min(batch_tile, b)
+    assert b % batch_tile == 0
+    grid = (b // batch_tile,)
+    board_spec = pl.BlockSpec(
+        (64, batch_tile), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    tog_spec = pl.BlockSpec(
+        (steps, 64, batch_tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_controlled_kernel_eo, steps=steps),
+        out_shape=(
+            jax.ShapeDtypeStruct(e.shape, U32),
+            jax.ShapeDtypeStruct(o.shape, U32),
+        ),
+        grid=grid,
+        in_specs=[tog_spec, tog_spec, board_spec, board_spec],
+        out_specs=(board_spec, board_spec),
+        interpret=interpret,
+    )(toggles_e, toggles_o, e, o)
+
+
+def controlled_rollout(boards, toggles, batch_tile=DEFAULT_BATCH_TILE,
+                       interpret=False):
+    """packed boards uint32[B, 64, 2] + packed toggles uint32[T, B, 64, 2]
+    -> final packed boards after T controlled generations (bit-exact with
+    mpc.soft.hard_rollout)."""
+    from ..core import bitops
+
+    lo, hi = to_kernel_layout(boards)
+    e, o = bitops.interleave_split(lo, hi)
+    tlo = jnp.moveaxis(toggles[..., 0], -1, -2)  # [T, 64, B]
+    thi = jnp.moveaxis(toggles[..., 1], -1, -2)
+    te, to = bitops.interleave_split(tlo, thi)
+    e, o = controlled_rollout_eo(e, o, te, to, batch_tile=batch_tile,
+                                 interpret=interpret)
+    lo, hi = bitops.interleave_merge(e, o)
+    return from_kernel_layout(lo, hi)
+
+
 def _rollout_kernel(lo_ref, hi_ref, out_lo_ref, out_hi_ref, *, steps):
     lo = lo_ref[:]
     hi = hi_ref[:]

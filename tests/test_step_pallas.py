@@ -69,3 +69,20 @@ def test_rollout_interpret_matches_scan(rng):
     got = step_pallas.rollout(p, steps=8, batch_tile=128, interpret=not _is_tpu())
     expect = step.step_n(p, 8)
     assert bool(board.equal(got, expect).all())
+
+
+def test_controlled_rollout_matches_hard_rollout(rng):
+    from lifeapi_tpu.mpc import soft
+
+    d = random_dense(rng, p=0.3, batch=(128,))
+    p = board.from_dense(jnp.asarray(d))
+    T = 6
+    tog_dense = random_dense(rng, p=0.02, batch=(T, 128))
+    toggles = board.from_dense(jnp.asarray(tog_dense))
+    got = step_pallas.controlled_rollout(
+        p, toggles, batch_tile=128, interpret=not _is_tpu()
+    )
+    # reference path: scan of xor + step, per board (hard_rollout maps over
+    # the [T, B, ...] toggles with boards batched)
+    expect = soft.hard_rollout(p, toggles)
+    assert bool(board.equal(got, expect).all())
