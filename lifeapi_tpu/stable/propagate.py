@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..core import board as board_mod
 from . import options as opt
+from . import rules_vec
 
 N = 64
 
@@ -237,10 +238,8 @@ def update_options(st: Stable):
     ``UpdateOptions``, LifeStable.hpp:558-615, netlist stable_count)."""
     on9 = count9(st.state)
     unk9 = count9(st.unknown)
-    lut = jnp.asarray(opt.update_lut())
-    out = lut[center_code(st), on9, unk9]
-    add = (out & 0xFF).astype(jnp.uint8)
-    abort = jnp.any((out >> 8) != 0, axis=(-2, -1))
+    add, abort_cells = rules_vec.update_bits(center_code(st), on9, unk9)
+    abort = jnp.any(abort_cells, axis=(-2, -1))
     changed = jnp.any((add & ~st.ruled) != 0, axis=(-2, -1))
     return PropagateResult(
         st._replace(ruled=st.ruled | add), ~abort, changed
@@ -252,8 +251,7 @@ def signal_neighbours(st: Stable):
     ``SignalNeighbours``, LifeStable.hpp:617-675, netlist stable_signal)."""
     on9 = count9(st.state)
     m9 = count9(st.state | st.unknown)
-    lut = jnp.asarray(opt.signal_lut())
-    bits = lut[center_code(st), st.ruled.astype(jnp.int32), on9, m9]
+    bits = rules_vec.signal_bits(center_code(st), st.ruled, on9, m9)
     sig_on = (bits & 1) != 0
     sig_off = (bits & 2) != 0
     cen_on = (bits & 4) != 0
@@ -275,8 +273,7 @@ def propagate_simple_step(st: Stable):
     LifeStable.hpp:414-503, netlist stable_simple)."""
     on9 = count9(st.state)
     unk9 = count9(st.unknown)
-    lut = jnp.asarray(opt.simple_lut())
-    bits = lut[center_code(st), on9, unk9]
+    bits = rules_vec.simple_bits(center_code(st), on9, unk9)
     new_off = ((bits & 1) != 0) & st.unknown
     new_on = ((bits & 2) != 0) & st.unknown
     sig_off = (bits & 4) != 0
@@ -389,8 +386,7 @@ def vulnerable(st: Stable):
     LifeStable.hpp:366-412, netlist stable_vulnerable)."""
     on9 = count9(st.state)
     unk9 = count9(st.unknown)
-    lut = jnp.asarray(opt.vulnerable_lut())
-    bits = lut[st.ruled.astype(jnp.int32), on9, unk9]
+    bits = rules_vec.vulnerable_bits(center_code(st), st.ruled, on9, unk9)
     v_on = (bits & 1) != 0
     v_off = (bits & 2) != 0
     vc_on = (bits & 4) != 0

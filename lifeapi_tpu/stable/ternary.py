@@ -22,11 +22,12 @@ def step_ternary(state, unknown, naive=False):
     ``naive=True`` matches the reference's unknown_step.py netlist exactly
     (UNKNOWN centers stay UNKNOWN); the default also resolves unknown
     centers whose fate is independent of their value."""
+    from . import rules_vec
+
     on9 = count9(state)
     unk9 = count9(unknown)
     center = jnp.where(unknown, jnp.int32(opt.UNKNOWN), state.astype(jnp.int32))
-    lut = jnp.asarray(opt.ternary_lut(naive=naive))
-    nxt = lut[center, on9, unk9]
+    nxt = rules_vec.ternary_code(center, on9, unk9, naive=naive)
     return nxt == opt.ON, nxt == opt.UNKNOWN
 
 
