@@ -126,6 +126,11 @@ class LifeStable:
     def vulnerable(self):
         return B.from_dense(P.vulnerable(self.data))
 
+    def propagate_and_test(self, max_cells=16):
+        """Reference ``PropagateAndTest`` (LifeStable.hpp:163-184)."""
+        res = P.propagate_and_test(self.data, max_cells=max_cells)
+        return LifeStable(res.stable), res.consistent, res.changed
+
     def test_unknowns(self, cells):
         cells = B.to_dense(cells) if cells.dtype == jnp.uint32 else cells
         res = P.test_cells(self.data, cells)

@@ -434,6 +434,50 @@ def test_cells(st: Stable, cell_mask):
     return PropagateResult(out, ~neither, changed)
 
 
+def _first_cell_mask(dense_mask):
+    """One-hot [..., 64, 64] of the lexicographically first set cell per
+    board (all-zero when the mask is empty)."""
+    flat = dense_mask.reshape(*dense_mask.shape[:-2], N * N)
+    idx = jnp.argmax(flat, axis=-1)
+    onehot = jax.nn.one_hot(idx, N * N, dtype=bool).reshape(dense_mask.shape)
+    return onehot & dense_mask
+
+
+def propagate_and_test(st: Stable, max_cells=16):
+    """Alternate full propagation with lookahead on vulnerable cells until
+    nothing changes (reference ``PropagateAndTest``, LifeStable.hpp:163-184;
+    the reference tests every cell of Vulnerable().ZOI(), here a bounded
+    number of cells per board per round, batched)."""
+    res = propagate(st)
+    consistent = res.consistent
+    changed_ever = res.changed
+    cur = res.stable
+
+    def cond(carry):
+        cur, consistent, changed_ever, active, rounds = carry
+        return jnp.any(active) & (rounds < max_cells)
+
+    def body(carry):
+        cur, consistent, changed_ever, active, rounds = carry
+        candidates = vulnerable(cur) & cur.unknown
+        cell = _first_cell_mask(candidates)
+        has_cell = jnp.any(cell, axis=(-2, -1))
+        res = test_cells(cur, cell & active[..., None, None])
+        nxt = _masked(cur, res.stable, active & has_cell & res.consistent)
+        consistent = consistent & (~active | res.consistent)
+        changed_now = active & has_cell & res.changed
+        changed_ever = changed_ever | changed_now
+        active = active & res.consistent & changed_now
+        return nxt, consistent, changed_ever, active, rounds + 1
+
+    active0 = consistent & jnp.ones(st.batch_shape, bool)
+    out, consistent, changed_ever, _, _ = jax.lax.while_loop(
+        cond, body,
+        (cur, consistent, changed_ever, active0, jnp.int32(0)),
+    )
+    return PropagateResult(out, consistent, changed_ever)
+
+
 # ---------------------------------------------------------------------------
 # I/O (reference LifeStable.hpp:196-202, :1481-1487)
 # ---------------------------------------------------------------------------

@@ -138,6 +138,26 @@ def test_test_cells_lookahead():
     assert bool(P.propagate(out).consistent)
 
 
+def test_propagate_and_test():
+    # lookahead must stay consistent on a satisfiable instance and find at
+    # least as much as plain propagation
+    truth = dense(EATER)
+    hide = H.zoi(truth) & ~truth
+    st = P.make(state=jnp.asarray(truth), unknown=jnp.asarray(hide))
+    plain = P.propagate(st)
+    res = P.propagate_and_test(st)
+    assert bool(res.consistent)
+    plain_unknowns = int(np.asarray(plain.stable.unknown).sum())
+    test_unknowns = int(np.asarray(res.stable.unknown).sum())
+    assert test_unknowns <= plain_unknowns
+    # soundness: the eater itself remains compatible
+    full_truth = P.make(state=jnp.asarray(truth), unknown=jnp.zeros((N, N), bool))
+    forced_off_wrong = np.asarray(
+        ~res.stable.state & ~res.stable.unknown
+    ) & truth
+    assert not forced_off_wrong.any()
+
+
 def test_beam_matches_dfs_quality():
     truth = dense(EATER)
     hide = np.zeros((N, N), bool)
