@@ -4,45 +4,39 @@
 * stable propagation fixpoints/s (reference: 6.7e5 on one Xeon core,
   BASELINE.md)
 * CompleteStable solves/s via the batched beam (reference: ~0.3-1 ms/solve
-  on CPU DFS)
-* MPC horizon-32 solves/s (north-star target: >= 1000/s on v5e-16,
+  on CPU DFS => ~3333 solves/s)
+* MPC horizon-32 candidate solves/s (north-star: >= 1000/s on v5e-16,
   i.e. ~62.5/s per chip)
 
-Prints one JSON line per metric.  Timing uses chained calls + host
-readback (block_until_ready is unreliable through tunneled backends).
+Each metric is ONE device dispatch that loops the workload on-device
+(fori_loop over problem variants), then a host readback — chained host
+dispatches and block_until_ready are both unreliable through tunneled
+backends.  Prints one JSON line per metric.
 """
 
 import json
 import time
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-
-def timed_diff(fn, state, reps):
-    """K-difference timing: (time(reps+1 chained) - time(1)) / reps."""
-    s = fn(state)
-    np.asarray(jax.tree_util.tree_leaves(s)[0])  # warm
-
-    def chain(k):
-        t0 = time.perf_counter()
-        cur = state
-        for _ in range(k):
-            cur = fn(cur)
-        np.asarray(jax.tree_util.tree_leaves(cur)[0])
-        return time.perf_counter() - t0
-
-    base = chain(1)
-    total = chain(reps + 1)
-    return max((total - base) / reps, 1e-9)
+import jax
+import jax.numpy as jnp
 
 
-def bench_propagate(B=1024):
+def _timed(fn, *args):
+    out = fn(*args)
+    np.asarray(out)  # compile + warm
+    t0 = time.perf_counter()
+    out = fn(*args)
+    np.asarray(out)
+    return time.perf_counter() - t0
+
+
+def bench_propagate(B=1024, M=20):
     from lifeapi_tpu.core import board, rle
     from lifeapi_tpu.stable import propagate as P
 
@@ -53,20 +47,28 @@ def bench_propagate(B=1024):
         unknown=jnp.broadcast_to(board.to_dense(unknown), (B, 64, 64)),
     )
 
-    def fn(s):
-        res = P.propagate(s)
-        # feed the (converged) output back in; fixpoint re-verification is
-        # the workload unit
-        return res.stable
+    @jax.jit
+    def run(st):
+        def body(i, acc):
+            # roll to a fresh (equivalent) problem each round to defeat CSE
+            sti = P.Stable(
+                jnp.roll(st.state, i, axis=-2),
+                jnp.roll(st.unknown, i, axis=-2),
+                st.ruled,
+            )
+            res = P.propagate(sti)
+            return acc + jnp.sum(res.stable.ruled.astype(jnp.int32))
 
-    dt = timed_diff(fn, st, reps=10)
-    fixpoints_per_sec = B / dt
+        return jax.lax.fori_loop(0, M, body, jnp.int32(0))
+
+    dt = _timed(run, st)
+    fixpoints_per_sec = B * M / dt
     print(json.dumps({
         "metric": "stable_propagate_fixpoints_per_sec",
         "value": fixpoints_per_sec,
         "unit": "fixpoints/s",
         "vs_baseline": fixpoints_per_sec / 6.7e5,
-    }))
+    }), flush=True)
 
 
 def bench_beam_complete(B=256):
@@ -82,19 +84,24 @@ def bench_beam_complete(B=256):
         unknown=jnp.broadcast_to(board.to_dense(unknown), (B, 64, 64)),
     )
 
+    def run():
+        res = C.complete_stable_beam(st, frontier=4, iters=24, minimise=True)
+        return res
+
+    res = run()  # warm (complete_stable_beam jits internally)
+    found = float(np.asarray(res.found).mean())
     t0 = time.perf_counter()
-    res = C.complete_stable_beam(st, frontier=4, iters=24, minimise=True)
+    res = run()
     np.asarray(res.best_pop)
     dt = time.perf_counter() - t0
     solves_per_sec = B / dt
-    # reference DFS: ~0.3 ms/solve => 3333 solves/s on one core
     print(json.dumps({
         "metric": "complete_stable_solves_per_sec",
         "value": solves_per_sec,
         "unit": "solves/s",
         "vs_baseline": solves_per_sec / 3333.0,
-        "found_fraction": float(np.asarray(res.found).mean()),
-    }))
+        "found_fraction": found,
+    }), flush=True)
 
 
 def bench_mpc(n_candidates=64, horizon=32, iters=100):
@@ -110,19 +117,21 @@ def bench_mpc(n_candidates=64, horizon=32, iters=100):
     )
     logits0 = solver.init_logits(jax.random.key(0), problem, n_candidates)
 
-    def fn(lg):
+    @jax.jit
+    def run(lg):
         out, _ = solver.solve_gradient(lg, problem, iters=iters)
-        return out
+        probs = jax.nn.sigmoid(out) * problem.control_mask
+        costs, _ = jax.vmap(lambda p: solver.hard_score(p, problem))(probs)
+        return jnp.min(costs)
 
-    dt = timed_diff(fn, logits0, reps=3)
-    # one "solve" = one full candidate optimization (the north-star unit)
+    dt = _timed(run, logits0)
     solves_per_sec = n_candidates / dt
     print(json.dumps({
         "metric": "mpc_horizon32_solves_per_sec_per_chip",
         "value": solves_per_sec,
         "unit": "solves/s",
-        "vs_baseline": solves_per_sec / 62.5,  # 1000/s on 16 chips
-    }))
+        "vs_baseline": solves_per_sec / 62.5,
+    }), flush=True)
 
 
 if __name__ == "__main__":
