@@ -38,28 +38,28 @@ def _timed(fn, *args):
 
 def bench_propagate(B=1024, M=20):
     from lifeapi_tpu.core import board, rle
-    from lifeapi_tpu.stable import propagate as P
+    from lifeapi_tpu.stable import bitplane as BP
 
     eater = board.move(rle.parse("2b2o$bobo$bo$2o!"), 20, 20)
     unknown = board.zoi(board.zoi(eater)) & ~eater
-    st = P.make(
-        state=jnp.broadcast_to(board.to_dense(eater), (B, 64, 64)),
-        unknown=jnp.broadcast_to(board.to_dense(unknown), (B, 64, 64)),
+    st = BP.make(
+        state=jnp.broadcast_to(eater, (B, 64, 2)),
+        unknown=jnp.broadcast_to(unknown, (B, 64, 2)),
     )
 
     @jax.jit
     def run(st):
         def body(i, acc):
             # roll to a fresh (equivalent) problem each round to defeat CSE
-            sti = P.Stable(
+            sti = BP.BitStable(
                 jnp.roll(st.state, i, axis=-2),
                 jnp.roll(st.unknown, i, axis=-2),
                 st.ruled,
             )
-            res = P.propagate(sti)
-            return acc + jnp.sum(res.stable.ruled.astype(jnp.int32))
+            res = BP.propagate(sti)
+            return acc + jnp.sum(res.stable.ruled[0])
 
-        return jax.lax.fori_loop(0, M, body, jnp.int32(0))
+        return jax.lax.fori_loop(0, M, body, jnp.uint32(0))
 
     dt = _timed(run, st)
     fixpoints_per_sec = B * M / dt

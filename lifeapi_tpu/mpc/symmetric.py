@@ -42,16 +42,16 @@ def stable_consistency(final_board, region_mask):
     returns the per-board consistency bool of the constraint propagation
     fixpoint (the stable_count/signal machinery, stable/propagate.py)."""
     from ..core import board as B
-    from ..stable import propagate as P
+    from ..stable import bitplane as BP
 
-    dense = B.to_dense(final_board)
-    region = region_mask.astype(bool)
-    st = P.Stable(
-        dense & region,
-        jnp.broadcast_to(~region, dense.shape),
-        jnp.zeros(dense.shape, jnp.uint8),
+    region_packed = B.from_dense(
+        jnp.broadcast_to(region_mask.astype(bool), (*final_board.shape[:-2], 64, 64))
     )
-    res = P.propagate(st)
+    st = BP.make(
+        state=final_board & region_packed,
+        unknown=~region_packed,
+    )
+    res = BP.propagate(st)
     return res.consistent
 
 

@@ -1,0 +1,426 @@
+"""Bit-sliced still-life constraint propagation — the performance path.
+
+Same contract as stable/propagate.py but on PACKED planes: the 10-plane
+layout of the reference ``LifeStable`` (state, unknown, 8 inverted option
+planes, LifeStable.hpp:39-53), 64 cells per word pair, with the espresso
+netlists replaced by interval-comparator circuits built from
+stable/nibble.py.  ~64x less data movement than the dense per-cell path;
+differential-tested against it (tests/test_bitplane.py).
+
+Key algebraic simplification (vs the literal new_signal_function): with
+A = known-ON neighbours, U = unknown neighbours, and [mo, Mo] the possible
+neighbour-count interval of the cell's options mask, the neighbour forcing
+conditions reduce to exact end-point equalities:
+    signal OFF  <=>  Mo == A        (only the minimum count is reachable)
+    signal ON   <=>  mo == A + U    (only the maximum count is reachable)
+under the guards (U > 0, options nonempty, o|maximal(n) consistent, no
+three-state conflict).  Verified against the scalar rules on the full
+input grid.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import board as B
+from ..core import step as S
+from . import nibble as nb
+from . import options as opt
+
+# option order: index -> (ruled-plane name, neighbour count, is_live)
+OPTIONS = (
+    ("live2", 2, True),
+    ("live3", 3, True),
+    ("dead0", 0, False),
+    ("dead1", 1, False),
+    ("dead2", 2, False),
+    ("dead4", 4, False),
+    ("dead5", 5, False),
+    ("dead6", 6, False),
+)
+
+# count -> option indices, ascending count order (for min/max scans)
+_BY_COUNT = ((2,), (3,), (0, 4), (1,), (5,), (6,), (7,))
+_COUNT_VALS = (0, 1, 2, 3, 4, 5, 6)
+
+
+class BitStable(NamedTuple):
+    """Packed 10-plane partial still-life (reference layout)."""
+
+    state: jax.Array  # packed uint32[..., 64, 2]
+    unknown: jax.Array
+    ruled: tuple  # 8 packed planes, OPTIONS order, 1 = ruled out
+
+    @property
+    def batch_shape(self):
+        return self.state.shape[:-2]
+
+
+class BitPropagateResult(NamedTuple):
+    stable: BitStable
+    consistent: jax.Array
+    changed: jax.Array
+
+
+def make(state=None, unknown=None, batch=()):
+    s = B.empty(batch) if state is None else state
+    u = B.empty(batch) if unknown is None else unknown
+    shape = jnp.broadcast_shapes(s.shape, u.shape)
+    s = jnp.broadcast_to(s, shape)
+    u = jnp.broadcast_to(u, shape) & ~s
+    z = jnp.zeros(shape, jnp.uint32)
+    return BitStable(s, u, tuple(z for _ in range(8)))
+
+
+# -- conversions to/from the dense representation ---------------------------
+
+
+def from_dense_stable(st):
+    """propagate.Stable -> BitStable."""
+    ruled = tuple(
+        B.from_dense((st.ruled & bit) != 0)
+        for bit, _, _ in ((opt.LIVE2, 0, 0), (opt.LIVE3, 0, 0), (opt.DEAD0, 0, 0),
+                          (opt.DEAD1, 0, 0), (opt.DEAD2, 0, 0), (opt.DEAD4, 0, 0),
+                          (opt.DEAD5, 0, 0), (opt.DEAD6, 0, 0))
+    )
+    return BitStable(B.from_dense(st.state), B.from_dense(st.unknown), ruled)
+
+
+def to_dense_stable(bst: BitStable):
+    from . import propagate as P
+
+    bits = (opt.LIVE2, opt.LIVE3, opt.DEAD0, opt.DEAD1, opt.DEAD2, opt.DEAD4,
+            opt.DEAD5, opt.DEAD6)
+    ruled = None
+    for plane, bit in zip(bst.ruled, bits):
+        t = B.to_dense(plane).astype(jnp.uint8) * jnp.uint8(bit)
+        ruled = t if ruled is None else ruled | t
+    return P.Stable(B.to_dense(bst.state), B.to_dense(bst.unknown), ruled)
+
+
+# -- helpers ----------------------------------------------------------------
+
+
+def _counts_nibble(packed_board):
+    """9-cell inclusive window count as an LSB-first nibble of packed
+    planes (reuses the CSA neighbour counter, core.step)."""
+    bit3, bit2, bit1, bit0 = S.neighbour_counts(packed_board)
+    return (bit0, bit1, bit2, bit3)
+
+
+def _any(plane):
+    return ~B.is_empty(plane)
+
+
+def _live_mask_or(ruled):
+    return ruled[0] | ruled[1]
+
+
+def _dead_mask_and(ruled):
+    acc = ruled[2]
+    for i in range(3, 8):
+        acc = acc & ruled[i]
+    return acc
+
+
+def set_on(bst: BitStable, which):
+    """Reference ``SetOn`` (LifeStable.hpp:320-329)."""
+    ruled = list(bst.ruled)
+    for i in range(2, 8):
+        ruled[i] = ruled[i] | which
+    return BitStable(bst.state | which, bst.unknown & ~which, tuple(ruled))
+
+
+def set_off(bst: BitStable, which):
+    """Reference ``SetOff`` (LifeStable.hpp:330-335)."""
+    ruled = list(bst.ruled)
+    ruled[0] = ruled[0] | which
+    ruled[1] = ruled[1] | which
+    return BitStable(bst.state & ~which, bst.unknown & ~which, tuple(ruled))
+
+
+def _maximal_ruled_planes(A, AU, center_on, known_off):
+    """Per-option ruled-out planes from the interval [A, AU] and the
+    center's three-state (the vector maximal_options on planes)."""
+    out = []
+    for idx, (_, cnt, live) in enumerate(OPTIONS):
+        ruled = nb.gt_const(A, cnt) | nb.lt_const(AU, cnt)
+        ruled = ruled | (known_off if live else center_on)
+        out.append(ruled)
+    return out
+
+
+def _min_possible(possible):
+    """Nibble: minimum neighbour count among possible options (garbage
+    when none possible — callers guard)."""
+    sels = []
+    none_lower = None
+    for ids in _BY_COUNT:
+        p = possible[ids[0]]
+        for i in ids[1:]:
+            p = p | possible[i]
+        sel = p if none_lower is None else p & none_lower
+        none_lower = ~p if none_lower is None else none_lower & ~p
+        sels.append(sel)
+    return _encode_selected(sels)
+
+
+def _max_possible(possible):
+    sels_rev = []
+    none_higher = None
+    for ids in reversed(_BY_COUNT):
+        p = possible[ids[0]]
+        for i in ids[1:]:
+            p = p | possible[i]
+        sel = p if none_higher is None else p & none_higher
+        none_higher = ~p if none_higher is None else none_higher & ~p
+        sels_rev.append(sel)
+    return _encode_selected(list(reversed(sels_rev)))
+
+
+def _encode_selected(sels):
+    """One-hot count selectors -> nibble of the selected constant."""
+    z = jnp.zeros_like(sels[0])
+    bits = [z, z, z, z]
+    for c, sel in zip(_COUNT_VALS, sels):
+        for i in range(4):
+            if (c >> i) & 1:
+                bits[i] = bits[i] | sel
+    return tuple(bits)
+
+
+# -- propagation kernels ----------------------------------------------------
+
+
+def synchronise_state_known(bst: BitStable):
+    """Reference ``SynchroniseStateKnown`` (LifeStable.hpp:526-556), packed."""
+    known_on = ~bst.unknown & bst.state
+    known_off = ~bst.unknown & ~bst.state
+
+    maybe_dead_b = ~_dead_mask_and(bst.ruled)
+    maybe_live_b = ~(bst.ruled[0] & bst.ruled[1])
+    changes = (maybe_dead_b & known_on) | (maybe_live_b & known_off)
+
+    ruled = list(bst.ruled)
+    ruled[0] = ruled[0] | known_off
+    ruled[1] = ruled[1] | known_off
+    for i in range(2, 8):
+        ruled[i] = ruled[i] | known_on
+
+    maybe_dead = ~_dead_mask_and(tuple(ruled))
+    maybe_live = ~(ruled[0] & ruled[1])
+    abort = _any(~maybe_live & ~maybe_dead)
+
+    forced_on = maybe_live & ~maybe_dead
+    changes = changes | (~bst.state & forced_on)
+    state = bst.state | forced_on
+
+    still_unknown = maybe_live & maybe_dead
+    changes = changes | (bst.unknown & ~still_unknown)
+    unknown = bst.unknown & still_unknown
+
+    return BitPropagateResult(
+        BitStable(state, unknown, tuple(ruled)), ~abort, _any(changes)
+    )
+
+
+def update_options(bst: BitStable):
+    """Reference ``UpdateOptions`` (LifeStable.hpp:558-615), packed."""
+    center_on = bst.state
+    center_unk = bst.unknown
+    known_off = ~bst.state & ~bst.unknown
+
+    on9 = _counts_nibble(bst.state)
+    unk9 = _counts_nibble(bst.unknown)
+    A = nb.sub_bit(on9, center_on)
+    Un = nb.sub_bit(unk9, center_unk)
+    AU = nb.add(A, Un)
+
+    out = _maximal_ruled_planes(A, AU, center_on, known_off)
+    abort_cells = out[0]
+    for o in out[1:]:
+        abort_cells = abort_cells & o
+    abort = _any(abort_cells)
+
+    changes = jnp.zeros_like(bst.state)
+    ruled = list(bst.ruled)
+    for i in range(8):
+        add = out[i] & ~abort_cells
+        changes = changes | (add & ~ruled[i])
+        ruled[i] = ruled[i] | add
+
+    return BitPropagateResult(
+        bst._replace(ruled=tuple(ruled)), ~abort, _any(changes)
+    )
+
+
+def signal_neighbours(bst: BitStable):
+    """Reference ``SignalNeighbours`` (LifeStable.hpp:617-675), packed,
+    using the end-point equality simplification (module docstring)."""
+    center_on = bst.state
+    center_unk = bst.unknown
+    known_off = ~bst.state & ~bst.unknown
+
+    s9 = _counts_nibble(bst.state)
+    m9 = _counts_nibble(bst.state | bst.unknown)
+    A = nb.sub_bit(s9, center_on)
+    U = nb.sub_bit(nb.sub(m9, s9), center_unk)
+    AU = nb.add(A, U)
+
+    maximal = _maximal_ruled_planes(A, AU, center_on, known_off)
+    o2 = [r | m for r, m in zip(bst.ruled, maximal)]
+    o2_impossible = o2[0]
+    for p in o2[1:]:
+        o2_impossible = o2_impossible & p
+    o2_ok = ~o2_impossible
+
+    possible = [~r for r in bst.ruled]
+    o_impossible = bst.ruled[0]
+    for p in bst.ruled[1:]:
+        o_impossible = o_impossible & p
+    o_ok = ~o_impossible
+
+    mo = _min_possible(possible)
+    Mo = _max_possible(possible)
+
+    # three-state of o vs the cell's own state
+    maybe_live_o = possible[0] | possible[1]
+    maybe_dead_o = possible[2]
+    for i in range(3, 8):
+        maybe_dead_o = maybe_dead_o | possible[i]
+    conflict = (center_on & maybe_dead_o & ~maybe_live_o) | (
+        known_off & maybe_live_o & ~maybe_dead_o
+    )
+
+    u_nonzero = ~nb.eq_const(U, 0)
+    guards = u_nonzero & o2_ok & o_ok & ~conflict
+
+    signal_off = guards & nb.eq(Mo, A)
+    signal_on = guards & nb.eq(mo, AU) & ~signal_off
+
+    # center forcing from o2 (reference new_center_function)
+    possible2 = [~p for p in o2]
+    maybe_live2 = possible2[0] | possible2[1]
+    maybe_dead2 = possible2[2]
+    for i in range(3, 8):
+        maybe_dead2 = maybe_dead2 | possible2[i]
+    cen_guards = center_unk & o2_ok
+    center_on_f = cen_guards & maybe_live2 & ~maybe_dead2
+    center_off_f = cen_guards & maybe_dead2 & ~maybe_live2
+
+    off_zoi = B.zoi_hollow(signal_off) | center_off_f
+    on_zoi = B.zoi_hollow(signal_on) | center_on_f
+
+    abort = _any(off_zoi & on_zoi & bst.unknown)
+    changes = _any((off_zoi | on_zoi) & bst.unknown)
+
+    out = set_off(bst, off_zoi & bst.unknown)
+    out = set_on(out, on_zoi & out.unknown)
+    return BitPropagateResult(out, ~abort, changes)
+
+
+def propagate_step(bst: BitStable):
+    """Reference ``PropagateStep`` (LifeStable.hpp:695-716), packed."""
+    r1 = synchronise_state_known(bst)
+    r2 = update_options(r1.stable)
+    r3 = signal_neighbours(r2.stable)
+    return BitPropagateResult(
+        r3.stable,
+        r1.consistent & r2.consistent & r3.consistent,
+        r1.changed | r2.changed | r3.changed,
+    )
+
+
+def _masked(old: BitStable, new: BitStable, active):
+    a = active[..., None, None]
+    sel = lambda n, o: jnp.where(a, n, o)
+    return BitStable(
+        sel(new.state, old.state),
+        sel(new.unknown, old.unknown),
+        tuple(sel(n, o) for n, o in zip(new.ruled, old.ruled)),
+    )
+
+
+@jax.jit
+def propagate(bst: BitStable, max_iters=256):
+    """Reference ``Propagate`` fixpoint (LifeStable.hpp:718-729), packed,
+    batched with per-board convergence/consistency masks."""
+    batch = bst.batch_shape
+    consistent0 = jnp.ones(batch, bool)
+    changed0 = jnp.zeros(batch, bool)
+    active0 = jnp.ones(batch, bool)
+
+    def cond(carry):
+        _, _, _, active, it = carry
+        return jnp.any(active) & (it < max_iters)
+
+    def body(carry):
+        cur, consistent, changed_ever, active, it = carry
+        res = propagate_step(cur)
+        nxt = _masked(cur, res.stable, active & res.consistent)
+        consistent = consistent & (~active | res.consistent)
+        changed_ever = changed_ever | (active & res.changed)
+        active = active & res.consistent & res.changed
+        return nxt, consistent, changed_ever, active, it + 1
+
+    out, consistent, changed_ever, _, _ = jax.lax.while_loop(
+        cond, body, (bst, consistent0, changed0, active0, jnp.int32(0))
+    )
+    return BitPropagateResult(out, consistent, changed_ever)
+
+
+def vulnerable(bst: BitStable):
+    """Reference ``Vulnerable`` heuristic (LifeStable.hpp:366-412), packed."""
+    center_on = bst.state
+    center_unk = bst.unknown
+    known_off = ~bst.state & ~bst.unknown
+    center_known = ~center_unk
+
+    on9 = _counts_nibble(bst.state)
+    unk9 = _counts_nibble(bst.unknown)
+    A = nb.sub_bit(on9, center_on)
+    U = nb.sub_bit(unk9, center_unk)
+
+    one = nb.const(bst.state, 1)
+
+    def is_forced(c_on, c_off, c_unk, A_, U_):
+        AU_ = nb.add(A_, U_)
+        maximal = _maximal_ruled_planes(A_, AU_, c_on, c_off)
+        o2 = [r | m for r, m in zip(bst.ruled, maximal)]
+        impossible = o2[0]
+        for p in o2[1:]:
+            impossible = impossible & p
+        possible = [~p for p in o2]
+        mo2 = _min_possible(possible)
+        Mo2 = _max_possible(possible)
+        v1 = nb.maximum(A_, mo2)
+        v2 = nb.minimum(AU_, Mo2)
+        decided = nb.eq(v1, v2)
+        maybe_live2 = possible[0] | possible[1]
+        maybe_dead2 = possible[2]
+        for i in range(3, 8):
+            maybe_dead2 = maybe_dead2 | possible[i]
+        center_decided = c_unk & (maybe_live2 ^ maybe_dead2)
+        return impossible | decided | center_decided
+
+    z = jnp.zeros_like(bst.state)
+    f_on = is_forced(center_on, known_off, center_unk, nb.add(A, one),
+                     nb.sub(U, one))
+    f_off = is_forced(center_on, known_off, center_unk, A, nb.sub(U, one))
+    neigh_ok = ~((center_known & nb.le_const(U, 1)) | (center_unk & nb.eq_const(U, 0)))
+    v_on = neigh_ok & f_on
+    v_off = neigh_ok & f_off
+
+    ones_p = ~z
+    fc_on = is_forced(ones_p, z, z, A, U)
+    fc_off = is_forced(z, ones_p, z, A, U)
+    cen_ok = center_unk & ~nb.eq_const(U, 0)
+    vc_on = cen_ok & fc_on
+    vc_off = cen_ok & fc_off
+
+    on = B.zoi_hollow(v_on) | vc_on
+    off = B.zoi_hollow(v_off) | vc_off
+    return on & off

@@ -170,7 +170,8 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True):
 
     Each problem keeps a frontier of up to ``frontier`` candidate partial
     boards; every iteration propagates ALL candidates in one batched
-    fixpoint, records completed leaves into a per-problem incumbent
+    bit-plane fixpoint (stable/bitplane.py — 64 cells per word pair),
+    records completed leaves into a per-problem incumbent
     (population-minimal if ``minimise``), and replaces each active
     candidate by its OFF/ON children on the heuristically chosen branch
     cell.  Children beyond capacity are kept by lowest population.  This
@@ -180,33 +181,37 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True):
     import jax
     import jax.numpy as jnp
 
-    from . import propagate as P
+    from ..core import board as BRD
+    from ..core import step as STP
+    from . import bitplane as BP
 
-    st = stable
-    B = st.state.shape[0]
     F = frontier
     N = 64
+    if hasattr(stable, "ruled") and isinstance(stable.ruled, tuple):
+        bst0 = stable
+    else:
+        bst0 = BP.from_dense_stable(stable)
+    B = bst0.state.shape[0]
 
     def tile(x):
         return jnp.broadcast_to(x[:, None], (B, F) + x.shape[1:])
 
-    states = tile(st.state)
-    unknowns = tile(st.unknown)
-    ruleds = tile(st.ruled)
-    active = jnp.zeros((B, F), bool).at[:, 0].set(True)
+    cur0 = BP.BitStable(
+        tile(bst0.state), tile(bst0.unknown), tuple(tile(r) for r in bst0.ruled)
+    )
+    active0 = jnp.zeros((B, F), bool).at[:, 0].set(True)
 
-    best = jnp.zeros((B, N, N), bool)
-    best_pop = jnp.full((B,), jnp.iinfo(jnp.int32).max, jnp.int32)
-    found = jnp.zeros((B,), bool)
+    best0 = jnp.zeros((B, N, 2), jnp.uint32)
+    best_pop0 = jnp.full((B,), jnp.iinfo(jnp.int32).max, jnp.int32)
+    found0 = jnp.zeros((B,), bool)
 
     def body(carry, _):
-        states, unknowns, ruleds, active, best, best_pop, found = carry
-        cur = P.Stable(states, unknowns, ruleds)
-        res = P.propagate(cur)
+        cur, active, best, best_pop, found = carry
+        res = BP.propagate(cur)
         cur = res.stable
         ok = active & res.consistent
 
-        pop = jnp.sum(cur.state, axis=(-2, -1)).astype(jnp.int32)
+        pop = BRD.population(cur.state)
         if minimise:
             # population bound (reference LifeStable.hpp:1351-1355)
             ok = ok & ~(pop >= best_pop[:, None])
@@ -214,9 +219,12 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True):
             # first-solution mode: stop working on solved problems
             ok = ok & ~found[:, None]
 
-        dead0_ruled = (cur.ruled & opt.DEAD0) != 0
-        settable = P.zoi_dense(dead0_ruled) & (cur.ruled != 0) & cur.unknown
-        is_leaf = ok & ~jnp.any(settable, axis=(-2, -1))
+        dead0_ruled = cur.ruled[2]
+        perturbed = cur.ruled[0]
+        for r in cur.ruled[1:]:
+            perturbed = perturbed | r
+        settable = BRD.zoi(dead0_ruled) & perturbed & cur.unknown
+        is_leaf = ok & BRD.is_empty(settable)
 
         # record the best leaf of this round per problem
         leaf_pop = jnp.where(is_leaf, pop, jnp.iinfo(jnp.int32).max)
@@ -233,43 +241,53 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True):
         ok = ok & ~is_leaf
 
         # branch-cell heuristic (reference LifeStable.hpp:1377-1391)
-        unk9 = P.count9(cur.unknown)
-        vuln = P.vulnerable(cur)
-        prio = (
-            jnp.where(vuln & settable, 4, 0)
-            | jnp.where(settable & (unk9 == 2), 3, 0)
-            | jnp.where(settable & (unk9 == 3), 2, 0)
-            | jnp.where(settable, 1, 0)
+        unk_planes = STP.neighbour_counts(cur.unknown)
+        vuln = BP.vulnerable(cur)
+        levels = (
+            vuln & settable,
+            settable & STP.with_exactly(unk_planes, 2),
+            settable & STP.with_exactly(unk_planes, 3),
+            settable,
         )
+        prio = None
+        for weight, mask in zip((4, 3, 2, 1), levels):
+            t = BRD.to_dense(mask).astype(jnp.int8) * jnp.int8(weight)
+            prio = t if prio is None else jnp.maximum(prio, t)
         flat = prio.reshape(B, F, N * N)
         cell = jnp.argmax(flat, axis=-1)
-        cell_mask = jax.nn.one_hot(cell, N * N, dtype=bool).reshape(B, F, N, N)
-        cell_mask = cell_mask & ok[..., None, None]
+        cell_dense = jax.nn.one_hot(cell, N * N, dtype=bool).reshape(B, F, N, N)
+        cell_mask = BRD.from_dense(cell_dense) & jnp.where(
+            ok[..., None, None], jnp.uint32(0xFFFFFFFF), jnp.uint32(0)
+        )
 
-        off_child = P.set_off(cur, cell_mask)
-        on_child = P.set_on(cur, cell_mask)
+        off_child = BP.set_off(cur, cell_mask)
+        on_child = BP.set_on(cur, cell_mask)
 
         # 2F candidates -> keep F best (active first, then lower pop)
-        cand_state = jnp.concatenate([off_child.state, on_child.state], axis=1)
-        cand_unknown = jnp.concatenate([off_child.unknown, on_child.unknown], axis=1)
-        cand_ruled = jnp.concatenate([off_child.ruled, on_child.ruled], axis=1)
-        cand_active = jnp.concatenate([ok, ok], axis=1)
-        cand_pop = jnp.concatenate([pop, pop + 1], axis=1)
+        cat = lambda a, b: jnp.concatenate([a, b], axis=1)
+        cand = BP.BitStable(
+            cat(off_child.state, on_child.state),
+            cat(off_child.unknown, on_child.unknown),
+            tuple(cat(a, b) for a, b in zip(off_child.ruled, on_child.ruled)),
+        )
+        cand_active = cat(ok, ok)
+        cand_pop = cat(pop, pop + 1)
         score = jnp.where(cand_active, cand_pop, jnp.iinfo(jnp.int32).max)
         order = jnp.argsort(score, axis=1)[:, :F]
         take = lambda x: jnp.take_along_axis(
             x, order.reshape(B, F, *([1] * (x.ndim - 2))), axis=1
         )
-        states = take(cand_state)
-        unknowns = take(cand_unknown)
-        ruleds = take(cand_ruled)
+        cur = BP.BitStable(
+            take(cand.state), take(cand.unknown),
+            tuple(take(r) for r in cand.ruled),
+        )
         active = jnp.take_along_axis(cand_active, order, axis=1)
 
-        return (states, unknowns, ruleds, active, best, best_pop, found), None
+        return (cur, active, best, best_pop, found), None
 
     @jax.jit
-    def run(states, unknowns, ruleds, active, best, best_pop, found):
-        carry = (states, unknowns, ruleds, active, best, best_pop, found)
+    def run(cur, active, best, best_pop, found):
+        carry = (cur, active, best, best_pop, found)
 
         def loop_body(i, carry):
             new_carry, _ = body(carry, None)
@@ -277,6 +295,9 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True):
 
         return jax.lax.fori_loop(0, iters, loop_body, carry)
 
-    out = run(states, unknowns, ruleds, active, best, best_pop, found)
-    _, _, _, _, best, best_pop, found = out
-    return BeamResult(np.asarray(found), np.asarray(best), np.asarray(best_pop))
+    out = run(cur0, active0, best0, best_pop0, found0)
+    _, _, best, best_pop, found = out
+    best_dense = BRD.to_dense(best)
+    return BeamResult(
+        np.asarray(found), np.asarray(best_dense), np.asarray(best_pop)
+    )

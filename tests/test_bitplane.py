@@ -1,0 +1,125 @@
+"""The packed bit-plane solver must agree exactly with the dense solver
+(which itself is exhaustively verified against the scalar spec)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lifeapi_tpu.core import board, rle
+from lifeapi_tpu.stable import bitplane as BP
+from lifeapi_tpu.stable import propagate as P
+from oracle import random_dense
+
+N = 64
+
+
+def _random_stable(rng, batch=4, p_state=0.15, p_unknown=0.25, p_ruled=0.1):
+    state = random_dense(rng, p=p_state, batch=(batch,))
+    unknown = random_dense(rng, p=p_unknown, batch=(batch,)) & ~state
+    ruled = (rng.random((batch, N, N, 8)) < p_ruled)
+    ruled_mask = np.zeros((batch, N, N), np.uint8)
+    for i in range(8):
+        ruled_mask |= ruled[..., i].astype(np.uint8) << i
+    return P.Stable(jnp.asarray(state), jnp.asarray(unknown),
+                    jnp.asarray(ruled_mask))
+
+
+def _assert_same(dense_st, bit_st):
+    back = BP.to_dense_stable(bit_st)
+    assert (np.asarray(back.state) == np.asarray(dense_st.state)).all()
+    assert (np.asarray(back.unknown) == np.asarray(dense_st.unknown)).all()
+    assert (np.asarray(back.ruled) == np.asarray(dense_st.ruled)).all()
+
+
+def test_conversion_roundtrip(rng):
+    st = _random_stable(rng)
+    _assert_same(st, BP.from_dense_stable(st))
+
+
+def test_sync_matches_dense(rng):
+    for _ in range(3):
+        st = _random_stable(rng)
+        d = P.synchronise_state_known(st)
+        b = BP.synchronise_state_known(BP.from_dense_stable(st))
+        assert (np.asarray(b.consistent) == np.asarray(d.consistent)).all()
+        ok = np.asarray(d.consistent)
+        if ok.all():
+            _assert_same(d.stable, b.stable)
+        assert (np.asarray(b.changed) == np.asarray(d.changed)).all()
+
+
+def test_update_matches_dense(rng):
+    for _ in range(3):
+        st = _random_stable(rng)
+        # update assumes counts/state are in sync: sync first, keep
+        # consistent boards
+        st = P.synchronise_state_known(st).stable
+        d = P.update_options(st)
+        b = BP.update_options(BP.from_dense_stable(st))
+        assert (np.asarray(b.consistent) == np.asarray(d.consistent)).all()
+        if np.asarray(d.consistent).all():
+            _assert_same(d.stable, b.stable)
+
+
+def test_signal_matches_dense(rng):
+    for _ in range(5):
+        st = _random_stable(rng, p_ruled=0.15)
+        st = P.synchronise_state_known(st).stable
+        st = P.update_options(st).stable
+        d = P.signal_neighbours(st)
+        b = BP.signal_neighbours(BP.from_dense_stable(st))
+        assert (np.asarray(b.consistent) == np.asarray(d.consistent)).all()
+        both_ok = np.asarray(d.consistent) & np.asarray(b.consistent)
+        if both_ok.all():
+            _assert_same(d.stable, b.stable)
+
+
+def test_propagate_matches_dense_on_real_problems(rng):
+    eater = board.move(rle.parse("2b2o$bobo$bo$2o!"), 20, 20)
+    hide = board.from_cells([(20, 20), (21, 20)])
+    unknown = (board.zoi(eater) & ~eater) | hide
+
+    st = P.make(state=board.to_dense(eater & ~hide),
+                unknown=board.to_dense(unknown))
+    d = P.propagate(st)
+    b = BP.propagate(BP.from_dense_stable(st))
+    assert bool(d.consistent) and bool(b.consistent)
+    _assert_same(d.stable, b.stable)
+
+
+def test_propagate_matches_dense_random_batch(rng):
+    from lifeapi_tpu.stable import host as H
+
+    batch = 6
+    states, unknowns = [], []
+    for i in range(batch):
+        truth = np.zeros((N, N), bool)
+        # random still-life-ish seed: scattered blocks
+        for _ in range(6):
+            x, y = rng.integers(4, 56, 2)
+            truth[x:x + 2, y:y + 2] = True
+        hide = (rng.random((N, N)) < 0.3) & H.zoi(truth)
+        states.append(truth & ~hide)
+        unknowns.append(hide | (H.zoi(H.zoi(truth)) & ~truth))
+    st = P.make(state=jnp.asarray(np.stack(states)),
+                unknown=jnp.asarray(np.stack(unknowns)))
+    d = P.propagate(st)
+    b = BP.propagate(BP.from_dense_stable(st))
+    assert (np.asarray(b.consistent) == np.asarray(d.consistent)).all()
+    ok = np.asarray(d.consistent)
+    back = BP.to_dense_stable(b.stable)
+    for i in range(batch):
+        if ok[i]:
+            assert (np.asarray(back.state[i]) == np.asarray(d.stable.state[i])).all()
+            assert (np.asarray(back.unknown[i]) == np.asarray(d.stable.unknown[i])).all()
+            assert (np.asarray(back.ruled[i]) == np.asarray(d.stable.ruled[i])).all()
+
+
+def test_vulnerable_matches_dense(rng):
+    eater = board.move(rle.parse("2b2o$bobo$bo$2o!"), 20, 20)
+    unknown = board.zoi(eater) & ~eater
+    st = P.make(state=board.to_dense(eater), unknown=board.to_dense(unknown))
+    st = P.propagate(st).stable
+    d = P.vulnerable(st)
+    bst = BP.from_dense_stable(st)
+    b = BP.vulnerable(bst)
+    assert (np.asarray(board.to_dense(b)) == np.asarray(d)).all()
