@@ -87,6 +87,41 @@ def hard_score(control_probs, problem: MPCProblem):
     )
 
 
+def hard_score_batch(control_probs, problem: MPCProblem, use_fused=False,
+                     interpret=False):
+    """Exact costs of a batch of binarized control candidates
+    [C, T, 64, 64].  ``use_fused=True`` routes through the fused Pallas
+    controlled-rollout kernel (ops/step_pallas.controlled_rollout) — the
+    TPU path for CEM-scale populations."""
+    mask = problem.control_mask
+    toggles = soft_mod.binarize_controls(control_probs * mask)  # [C,T,64,2]
+    C = toggles.shape[0]
+    if use_fused:
+        from ..ops import step_pallas
+
+        boards = jnp.broadcast_to(problem.initial, (C, 64, 2))
+        toggles_tb = jnp.swapaxes(toggles, 0, 1)  # [T, C, 64, 2]
+        finals = step_pallas.controlled_rollout(
+            boards, toggles_tb, interpret=interpret
+        )
+    else:
+        finals = jax.vmap(
+            lambda t: soft_mod.hard_rollout(problem.initial, t)
+        )(toggles)
+    protected = (
+        None if problem.protected is None else B.from_dense(problem.protected)
+    )
+    background = (
+        problem.background if problem.background is not None else problem.initial
+    )
+    costs = jax.vmap(
+        lambda f, t: cost_mod.hard_total(
+            f, t, problem.target, protected, background, problem.weights
+        )
+    )(finals, toggles)
+    return costs, finals
+
+
 def init_logits(key, problem: MPCProblem, n_candidates, scale=0.5, bias=-3.0):
     T = problem.horizon
     return bias + scale * jax.random.normal(
@@ -187,7 +222,7 @@ def solve(problem: MPCProblem, key, n_candidates=32, method="gradient",
 
 
 def solve_cem(problem: MPCProblem, key, pop=256, iters=20, elites=16,
-              init_p=0.03, smoothing=0.7, mean0=None):
+              init_p=0.03, smoothing=0.7, mean0=None, use_fused=False):
     """Cross-entropy method on the exact path: sample toggle masks, score
     with the bit-exact rollout, refit toggle probabilities to the elite
     set.  ``mean0`` seeds the sampling distribution (e.g. from a gradient
@@ -197,11 +232,10 @@ def solve_cem(problem: MPCProblem, key, pop=256, iters=20, elites=16,
     mask = problem.control_mask
 
     def score_batch(samples):
-        def one(s):
-            probs = s.astype(jnp.float32)
-            return hard_score(probs, problem)[0]
-
-        return jax.vmap(one)(samples)
+        costs, _ = hard_score_batch(
+            samples.astype(jnp.float32), problem, use_fused=use_fused
+        )
+        return costs
 
     def body(carry, key_i):
         mean, best_cost, best_sample = carry

@@ -104,6 +104,21 @@ def test_sqp_solver_improves():
     assert float(end.min()) < float(start.min())
 
 
+def test_hard_score_batch_fused_matches_scan():
+    problem = _toy_problem(horizon=4)
+    key = jax.random.key(9)
+    probs = jax.random.uniform(key, (8, 4, 64, 64))
+    from lifeapi_tpu.mpc.solver import hard_score_batch
+
+    costs_scan, finals_scan = hard_score_batch(probs, problem, use_fused=False)
+    costs_fused, finals_fused = hard_score_batch(
+        probs, problem, use_fused=True,
+        interpret=jax.devices()[0].platform != "tpu",
+    )
+    assert np.allclose(np.asarray(costs_scan), np.asarray(costs_fused))
+    assert (np.asarray(finals_scan) == np.asarray(finals_fused)).all()
+
+
 def test_stable_background_constraint():
     # a block in the protected region must survive the episode
     block = board.move(rle.parse("2o$2o!"), 10, 10)
