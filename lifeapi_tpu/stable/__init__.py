@@ -1,3 +1,3 @@
-from . import complete, host, options, propagate, ternary  # noqa: F401
+from . import bitplane, complete, host, nibble, options, propagate, rules_vec, ternary  # noqa: F401
 from .complete import CompletionResult, complete_stable, complete_stable_beam  # noqa: F401
 from .propagate import Stable  # noqa: F401

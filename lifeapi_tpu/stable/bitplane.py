@@ -372,6 +372,45 @@ def propagate(bst: BitStable, max_iters=256):
     return BitPropagateResult(out, consistent, changed_ever)
 
 
+def step_ternary_packed(state, unknown, naive=False):
+    """Packed three-state Life step (interval semantics of the dormant
+    unknown_step netlists; bit-plane counterpart of
+    stable/ternary.step_ternary).  state/unknown: packed boards; returns
+    (next_state, next_unknown)."""
+    center_on = state
+    center_unk = unknown
+    known_off = ~state & ~unknown
+
+    on9 = _counts_nibble(state)
+    unk9 = _counts_nibble(unknown)
+    A = nb.sub_bit(on9, center_on)
+    U = nb.sub_bit(unk9, center_unk)
+    AU = nb.add(A, U)
+
+    def in_range(c):
+        return nb.le_const(A, c) & nb.ge_const(AU, c)
+
+    has_23 = in_range(2) | in_range(3)
+    has_3 = in_range(3)
+    # interval is never empty (U >= 0); "contains a non-{2,3}" and
+    # "contains a non-3" by complement of containment
+    only_23 = nb.ge_const(A, 2) & nb.le_const(AU, 3)
+    only_3 = nb.eq_const(A, 3) & nb.eq_const(AU, 3)
+
+    on_like = ~known_off
+    off_like = ~center_on
+
+    maybe_on = (on_like & has_23) | (off_like & has_3)
+    maybe_off = (on_like & ~only_23) | (off_like & ~only_3)
+
+    next_state = maybe_on & ~maybe_off
+    next_unknown = maybe_on & maybe_off
+    if naive:
+        next_unknown = next_unknown | center_unk
+        next_state = next_state & ~center_unk
+    return next_state, next_unknown
+
+
 def vulnerable(bst: BitStable):
     """Reference ``Vulnerable`` heuristic (LifeStable.hpp:366-412), packed."""
     center_on = bst.state

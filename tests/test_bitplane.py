@@ -114,6 +114,23 @@ def test_propagate_matches_dense_random_batch(rng):
             assert (np.asarray(back.ruled[i]) == np.asarray(d.stable.ruled[i])).all()
 
 
+def test_ternary_packed_matches_dense(rng):
+    from lifeapi_tpu.stable import ternary
+
+    for naive in (False, True):
+        d = random_dense(rng, p=0.35)
+        unk = random_dense(rng, p=0.1) & ~d
+        s_dense, u_dense = ternary.step_ternary(
+            jnp.asarray(d), jnp.asarray(unk), naive=naive
+        )
+        sp, up = BP.step_ternary_packed(
+            board.from_dense(jnp.asarray(d)), board.from_dense(jnp.asarray(unk)),
+            naive=naive,
+        )
+        assert (np.asarray(board.to_dense(sp)) == np.asarray(s_dense)).all()
+        assert (np.asarray(board.to_dense(up)) == np.asarray(u_dense)).all()
+
+
 def test_vulnerable_matches_dense(rng):
     eater = board.move(rle.parse("2b2o$bobo$bo$2o!"), 20, 20)
     unknown = board.zoi(eater) & ~eater
