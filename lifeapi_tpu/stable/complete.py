@@ -154,6 +154,7 @@ def complete_stable(st: HostStable, timeout=1.0, minimise=False, use_seed=False,
     )
 
 
+
 # ---------------------------------------------------------------------------
 # Batched TPU beam search
 # ---------------------------------------------------------------------------
@@ -163,6 +164,119 @@ class BeamResult(NamedTuple):
     found: "np.ndarray"  # bool[B]
     best: "np.ndarray"  # bool[B, 64, 64]
     best_pop: "np.ndarray"  # int32[B]
+
+
+def _beam_body(carry, minimise):
+    """One beam round: propagate every frontier candidate, harvest leaves,
+    branch on the heuristic cell, keep the best F children."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..core import board as BRD
+    from ..core import step as STP
+    from . import bitplane as BP
+
+    cur, active, best, best_pop, found = carry
+    B, F = active.shape
+    N = 64
+
+    res = BP.propagate(cur)
+    cur = res.stable
+    ok = active & res.consistent
+
+    pop = BRD.population(cur.state)
+    if minimise:
+        # population bound (reference LifeStable.hpp:1351-1355)
+        ok = ok & ~(pop >= best_pop[:, None])
+    else:
+        # first-solution mode: stop working on solved problems
+        ok = ok & ~found[:, None]
+
+    dead0_ruled = cur.ruled[2]
+    perturbed = cur.ruled[0]
+    for r in cur.ruled[1:]:
+        perturbed = perturbed | r
+    settable = BRD.zoi(dead0_ruled) & perturbed & cur.unknown
+    is_leaf = ok & BRD.is_empty(settable)
+
+    # record the best leaf of this round per problem
+    leaf_pop = jnp.where(is_leaf, pop, jnp.iinfo(jnp.int32).max)
+    which = jnp.argmin(leaf_pop, axis=1)
+    round_pop = jnp.take_along_axis(leaf_pop, which[:, None], axis=1)[:, 0]
+    round_state = jnp.take_along_axis(
+        cur.state, which[:, None, None, None], axis=1
+    )[:, 0]
+    better = round_pop < best_pop
+    best = jnp.where(better[:, None, None], round_state, best)
+    best_pop = jnp.where(better, round_pop, best_pop)
+    found = found | better
+
+    ok = ok & ~is_leaf
+
+    # branch-cell heuristic (reference LifeStable.hpp:1377-1391)
+    unk_planes = STP.neighbour_counts(cur.unknown)
+    vuln = BP.vulnerable(cur)
+    levels = (
+        vuln & settable,
+        settable & STP.with_exactly(unk_planes, 2),
+        settable & STP.with_exactly(unk_planes, 3),
+        settable,
+    )
+    prio = None
+    for weight, mask in zip((4, 3, 2, 1), levels):
+        t = BRD.to_dense(mask).astype(jnp.int8) * jnp.int8(weight)
+        prio = t if prio is None else jnp.maximum(prio, t)
+    flat = prio.reshape(B, F, N * N)
+    cell = jnp.argmax(flat, axis=-1)
+    cell_dense = jax.nn.one_hot(cell, N * N, dtype=bool).reshape(B, F, N, N)
+    cell_mask = BRD.from_dense(cell_dense) & jnp.where(
+        ok[..., None, None], jnp.uint32(0xFFFFFFFF), jnp.uint32(0)
+    )
+
+    off_child = BP.set_off(cur, cell_mask)
+    on_child = BP.set_on(cur, cell_mask)
+
+    # 2F candidates -> keep F best (active first, then lower pop)
+    cat = lambda a, b: jnp.concatenate([a, b], axis=1)
+    cand = BP.BitStable(
+        cat(off_child.state, on_child.state),
+        cat(off_child.unknown, on_child.unknown),
+        tuple(cat(a, b) for a, b in zip(off_child.ruled, on_child.ruled)),
+    )
+    cand_active = cat(ok, ok)
+    cand_pop = cat(pop, pop + 1)
+    score = jnp.where(cand_active, cand_pop, jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(score, axis=1)[:, :F]
+    take = lambda x: jnp.take_along_axis(
+        x, order.reshape(B, F, *([1] * (x.ndim - 2))), axis=1
+    )
+    cur = BP.BitStable(
+        take(cand.state), take(cand.unknown),
+        tuple(take(r) for r in cand.ruled),
+    )
+    active = jnp.take_along_axis(cand_active, order, axis=1)
+
+    return (cur, active, best, best_pop, found)
+
+
+def _make_beam_runner():
+    import functools
+
+    import jax
+
+    @functools.partial(jax.jit, static_argnames=("iters", "minimise"))
+    def run(cur0, active0, best0, best_pop0, found0, iters, minimise):
+        carry = (cur0, active0, best0, best_pop0, found0)
+
+        def loop_body(i, carry):
+            return _beam_body(carry, minimise)
+
+        return jax.lax.fori_loop(0, iters, loop_body, carry)
+
+    return run
+
+
+_BEAM_RUN = None
 
 
 def complete_stable_beam(stable, frontier=8, iters=192, minimise=True):
@@ -176,14 +290,18 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True):
     candidate by its OFF/ON children on the heuristically chosen branch
     cell.  Children beyond capacity are kept by lowest population.  This
     trades the reference's DFS order for breadth — thousands of branches
-    advance per kernel call (SURVEY.md section 7).
+    advance per kernel call (SURVEY.md section 7).  The compiled loop is
+    cached at module level, so repeated calls with the same shapes reuse
+    the executable.
     """
-    import jax
     import jax.numpy as jnp
 
     from ..core import board as BRD
-    from ..core import step as STP
     from . import bitplane as BP
+
+    global _BEAM_RUN
+    if _BEAM_RUN is None:
+        _BEAM_RUN = _make_beam_runner()
 
     F = frontier
     N = 64
@@ -200,102 +318,11 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True):
         tile(bst0.state), tile(bst0.unknown), tuple(tile(r) for r in bst0.ruled)
     )
     active0 = jnp.zeros((B, F), bool).at[:, 0].set(True)
-
     best0 = jnp.zeros((B, N, 2), jnp.uint32)
     best_pop0 = jnp.full((B,), jnp.iinfo(jnp.int32).max, jnp.int32)
     found0 = jnp.zeros((B,), bool)
 
-    def body(carry, _):
-        cur, active, best, best_pop, found = carry
-        res = BP.propagate(cur)
-        cur = res.stable
-        ok = active & res.consistent
-
-        pop = BRD.population(cur.state)
-        if minimise:
-            # population bound (reference LifeStable.hpp:1351-1355)
-            ok = ok & ~(pop >= best_pop[:, None])
-        else:
-            # first-solution mode: stop working on solved problems
-            ok = ok & ~found[:, None]
-
-        dead0_ruled = cur.ruled[2]
-        perturbed = cur.ruled[0]
-        for r in cur.ruled[1:]:
-            perturbed = perturbed | r
-        settable = BRD.zoi(dead0_ruled) & perturbed & cur.unknown
-        is_leaf = ok & BRD.is_empty(settable)
-
-        # record the best leaf of this round per problem
-        leaf_pop = jnp.where(is_leaf, pop, jnp.iinfo(jnp.int32).max)
-        which = jnp.argmin(leaf_pop, axis=1)
-        round_pop = jnp.take_along_axis(leaf_pop, which[:, None], axis=1)[:, 0]
-        round_state = jnp.take_along_axis(
-            cur.state, which[:, None, None, None], axis=1
-        )[:, 0]
-        better = round_pop < best_pop
-        best = jnp.where(better[:, None, None], round_state, best)
-        best_pop = jnp.where(better, round_pop, best_pop)
-        found = found | better
-
-        ok = ok & ~is_leaf
-
-        # branch-cell heuristic (reference LifeStable.hpp:1377-1391)
-        unk_planes = STP.neighbour_counts(cur.unknown)
-        vuln = BP.vulnerable(cur)
-        levels = (
-            vuln & settable,
-            settable & STP.with_exactly(unk_planes, 2),
-            settable & STP.with_exactly(unk_planes, 3),
-            settable,
-        )
-        prio = None
-        for weight, mask in zip((4, 3, 2, 1), levels):
-            t = BRD.to_dense(mask).astype(jnp.int8) * jnp.int8(weight)
-            prio = t if prio is None else jnp.maximum(prio, t)
-        flat = prio.reshape(B, F, N * N)
-        cell = jnp.argmax(flat, axis=-1)
-        cell_dense = jax.nn.one_hot(cell, N * N, dtype=bool).reshape(B, F, N, N)
-        cell_mask = BRD.from_dense(cell_dense) & jnp.where(
-            ok[..., None, None], jnp.uint32(0xFFFFFFFF), jnp.uint32(0)
-        )
-
-        off_child = BP.set_off(cur, cell_mask)
-        on_child = BP.set_on(cur, cell_mask)
-
-        # 2F candidates -> keep F best (active first, then lower pop)
-        cat = lambda a, b: jnp.concatenate([a, b], axis=1)
-        cand = BP.BitStable(
-            cat(off_child.state, on_child.state),
-            cat(off_child.unknown, on_child.unknown),
-            tuple(cat(a, b) for a, b in zip(off_child.ruled, on_child.ruled)),
-        )
-        cand_active = cat(ok, ok)
-        cand_pop = cat(pop, pop + 1)
-        score = jnp.where(cand_active, cand_pop, jnp.iinfo(jnp.int32).max)
-        order = jnp.argsort(score, axis=1)[:, :F]
-        take = lambda x: jnp.take_along_axis(
-            x, order.reshape(B, F, *([1] * (x.ndim - 2))), axis=1
-        )
-        cur = BP.BitStable(
-            take(cand.state), take(cand.unknown),
-            tuple(take(r) for r in cand.ruled),
-        )
-        active = jnp.take_along_axis(cand_active, order, axis=1)
-
-        return (cur, active, best, best_pop, found), None
-
-    @jax.jit
-    def run(cur, active, best, best_pop, found):
-        carry = (cur, active, best, best_pop, found)
-
-        def loop_body(i, carry):
-            new_carry, _ = body(carry, None)
-            return new_carry
-
-        return jax.lax.fori_loop(0, iters, loop_body, carry)
-
-    out = run(cur0, active0, best0, best_pop0, found0)
+    out = _BEAM_RUN(cur0, active0, best0, best_pop0, found0, iters, minimise)
     _, _, best, best_pop, found = out
     best_dense = BRD.to_dense(best)
     return BeamResult(
