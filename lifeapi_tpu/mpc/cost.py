@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..core import board as B
@@ -27,6 +28,20 @@ def soft_target_cost(p, target: LifeTarget):
     wanted = B.to_dense(target.wanted).astype(p.dtype)
     unwanted = B.to_dense(target.unwanted).astype(p.dtype)
     return jnp.sum(wanted * (1.0 - p) + unwanted * p, axis=(-2, -1))
+
+
+def soft_target_cost_any_time(traj, target: LifeTarget, tau=0.5):
+    """Soft-min over the horizon of the per-step target cost — for
+    objectives where reaching the target at ANY generation counts (the
+    usual search-program acceptance, cf. reference Contains checks inside
+    stepping loops).  traj: [T, ..., 64, 64]."""
+    per_step = soft_target_cost(traj, target)  # [T, ...]
+    return -tau * jax.nn.logsumexp(-per_step / tau, axis=0)
+
+
+def hard_target_cost_any_time(board_traj, target: LifeTarget):
+    """Exact min over a packed trajectory [T, ..., 64, 2]."""
+    return jnp.min(hamming_cost(board_traj, target), axis=0)
 
 
 def soft_control_cost(controls):
