@@ -20,7 +20,7 @@ def test_step_matches_dense_oracle(rng):
 def test_step_alt_differential(rng):
     # The reference's StepAltTest (tests/StepAltTest.cpp:5-13): two
     # independently derived step implementations must agree on random boards.
-    d = random_dense(rng, p=0.5, batch=(64,))
+    d = random_dense(rng, p=0.5, batch=(2048,))
     p = board.from_dense(jnp.asarray(d))
     a = step.step(p)
     b = step.step_alt(p)
