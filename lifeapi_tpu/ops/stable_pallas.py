@@ -1,0 +1,265 @@
+"""Fused Pallas kernel for one still-life propagation step.
+
+The jnp bit-plane path (stable/bitplane.py) is HBM-bound: ~700 elementwise
+ops per step each round-tripping the 10-plane state through HBM.  This
+kernel runs the whole step — synchronise + count + update + signal —
+inside VMEM on kernel-layout half-planes, so HBM traffic drops to one
+read + one write of the 10 planes per step.
+
+Layout: each plane is a pair of ``uint32[64, B]`` arrays (low/high column
+half-words, batch on lanes — the same layout as ops/step_pallas).  The
+per-cell circuits are the SAME functions as the jnp path
+(stable/bitplane.sync_circuit / update_circuit / signal_circuit — pure
+elementwise), with the cross-cell primitives (9-counts, hollow ZOI)
+reimplemented here with funnel shifts and sublane rolls.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..stable import bitplane as BP
+
+U32 = jnp.uint32
+
+N_PLANES = 10  # state, unknown, 8 ruled
+
+
+def _rotl1(lo, hi):
+    return (lo << 1) | (hi >> 31), (hi << 1) | (lo >> 31)
+
+
+def _rotr1(lo, hi):
+    return (lo >> 1) | (hi << 31), (hi >> 1) | (lo << 31)
+
+
+def _roll_cols(x, shift):
+    if shift == 1:
+        return jnp.concatenate([x[-1:], x[:-1]], axis=0)
+    return jnp.concatenate([x[1:], x[:1]], axis=0)
+
+
+def _half_add(a, b):
+    return a ^ b, a & b
+
+
+def _full_add(a, b, c):
+    half = a ^ b
+    return half ^ c, (a & b) | (c & half)
+
+
+def _count9(lo, hi):
+    """9-cell inclusive counts as LSB-first nibbles, one per half:
+    ((b0..b3)_lo, (b0..b3)_hi).  Same CSA structure as
+    core.step.neighbour_counts, on kernel-layout half-planes."""
+    out = []
+    al_lo, al_hi = _rotl1(lo, hi)
+    ar_lo, ar_hi = _rotr1(lo, hi)
+    for a, l, r in ((lo, al_lo, ar_lo), (hi, al_hi, ar_hi)):
+        bit0 = l ^ r ^ a
+        bit1 = ((l ^ r) & a) | (l & r)
+        out.append((bit0, bit1))
+    (c0_lo, c1_lo), (c0_hi, c1_hi) = out
+
+    def combine(c0, c1):
+        u0 = _roll_cols(c0, 1)
+        u1 = _roll_cols(c1, 1)
+        l0 = _roll_cols(c0, -1)
+        l1 = _roll_cols(c1, -1)
+        uc0, uc_carry0 = _half_add(u0, c0)
+        uc1, uc2 = _full_add(u1, c1, uc_carry0)
+        on0, on_carry0 = _half_add(uc0, l0)
+        on1, on_carry1 = _full_add(uc1, l1, on_carry0)
+        on2, on3 = _half_add(uc2, on_carry1)
+        return (on0, on1, on2, on3)
+
+    return combine(c0_lo, c1_lo), combine(c0_hi, c1_hi)
+
+
+def _zoi_hollow(lo, hi):
+    """8-neighbour dilation without the center, per half."""
+    ul_lo, ul_hi = _rotl1(lo, hi)
+    dr_lo, dr_hi = _rotr1(lo, hi)
+    t_lo = lo | ul_lo | dr_lo
+    t_hi = hi | ul_hi | dr_hi
+    mid_lo = ul_lo | dr_lo
+    mid_hi = ul_hi | dr_hi
+    out_lo = _roll_cols(t_lo, 1) | _roll_cols(t_lo, -1) | mid_lo
+    out_hi = _roll_cols(t_hi, 1) | _roll_cols(t_hi, -1) | mid_hi
+    return out_lo, out_hi
+
+
+def _step_kernel(*refs):
+    # refs: 20 inputs (10 planes x lo/hi), then 22 outputs
+    ins = refs[:20]
+    outs = refs[20:]
+    lo = {i: ins[2 * i][:] for i in range(N_PLANES)}
+    hi = {i: ins[2 * i + 1][:] for i in range(N_PLANES)}
+    # plane order: 0=state, 1=unknown, 2..9 ruled[0..7]
+
+    halves = []
+    for h in (lo, hi):
+        halves.append({
+            "state": h[0], "unknown": h[1],
+            "ruled": tuple(h[2 + i] for i in range(8)),
+        })
+
+    # 1. synchronise (elementwise per half)
+    synced = []
+    abort = [None, None]
+    changed = [None, None]
+    for k, ph in enumerate(halves):
+        st1, un1, rl1, ab, ch = BP.sync_circuit(ph["state"], ph["unknown"],
+                                                ph["ruled"])
+        synced.append({"state": st1, "unknown": un1, "ruled": rl1})
+        abort[k] = ab
+        changed[k] = ch
+
+    # 2. counts on the synced planes (cross-half)
+    s_lo, s_hi = synced[0]["state"], synced[1]["state"]
+    u_lo, u_hi = synced[0]["unknown"], synced[1]["unknown"]
+    on9 = _count9(s_lo, s_hi)
+    unk9 = _count9(u_lo, u_hi)
+    m9 = _count9(s_lo | u_lo, s_hi | u_hi)
+
+    # 3. update + 4. signal (elementwise per half)
+    sig = []
+    for k in range(2):
+        ph = synced[k]
+        rl2, ab_u, ch_u = BP.update_circuit(
+            ph["state"], ph["unknown"], ph["ruled"], on9[k], unk9[k]
+        )
+        ph["ruled"] = rl2
+        abort[k] = abort[k] | ab_u
+        changed[k] = changed[k] | ch_u
+        sig.append(
+            BP.signal_circuit(ph["state"], ph["unknown"], rl2, on9[k], m9[k])
+        )
+
+    # 5. broadcast signals (cross-half ZOI) and apply
+    son_lo, soff_lo, con_lo, coff_lo = sig[0]
+    son_hi, soff_hi, con_hi, coff_hi = sig[1]
+    offz_lo, offz_hi = _zoi_hollow(soff_lo, soff_hi)
+    onz_lo, onz_hi = _zoi_hollow(son_lo, son_hi)
+    offz = (offz_lo | coff_lo, offz_hi | coff_hi)
+    onz = (onz_lo | con_lo, onz_hi | con_hi)
+
+    for k in range(2):
+        ph = synced[k]
+        unknown_before = ph["unknown"]
+        # conflict: both signals hitting a still-unknown cell (reference
+        # LifeStable.hpp:666-667)
+        abort[k] = abort[k] | (offz[k] & onz[k] & unknown_before)
+
+        off_cells = offz[k] & ph["unknown"]
+        ph["state"] = ph["state"] & ~off_cells
+        ph["unknown"] = ph["unknown"] & ~off_cells
+        rl = list(ph["ruled"])
+        rl[0] = rl[0] | off_cells
+        rl[1] = rl[1] | off_cells
+        on_cells = onz[k] & ph["unknown"]
+        ph["state"] = ph["state"] | on_cells
+        ph["unknown"] = ph["unknown"] & ~on_cells
+        for i in range(2, 8):
+            rl[i] = rl[i] | on_cells
+        ph["ruled"] = tuple(rl)
+        changed[k] = changed[k] | off_cells | on_cells
+
+    # write outputs: 20 planes + changed pair + abort pair
+    for k in range(2):
+        ph = synced[k]
+        outs[0 * 2 + k][:] = ph["state"]
+        outs[1 * 2 + k][:] = ph["unknown"]
+        for i in range(8):
+            outs[(2 + i) * 2 + k][:] = ph["ruled"][i]
+    outs[20][:] = changed[0] | changed[1]
+    outs[21][:] = abort[0] | abort[1]
+
+
+@functools.partial(jax.jit, static_argnames=("batch_tile", "interpret"))
+def propagate_step_planes(planes, batch_tile=128, interpret=False):
+    """One fused propagation step.  planes: tuple of 20 uint32[64, B]
+    arrays (10 planes x lo/hi).  Returns (new_planes, changed[64, B],
+    abort[64, B])."""
+    b = planes[0].shape[1]
+    batch_tile = min(batch_tile, b)
+    assert b % batch_tile == 0
+    grid = (b // batch_tile,)
+    spec = pl.BlockSpec((64, batch_tile), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct((64, b), U32) for _ in range(22)
+    )
+    outs = pl.pallas_call(
+        _step_kernel,
+        out_shape=out_shapes,
+        grid=grid,
+        in_specs=[spec] * 20,
+        out_specs=(spec,) * 22,
+        interpret=interpret,
+    )(*planes)
+    return outs[:20], outs[20], outs[21]
+
+
+def _to_kernel_planes(bst: BP.BitStable):
+    """BitStable (packed [B, 64, 2] planes) -> 20 uint32[64, B] arrays."""
+    planes = (bst.state, bst.unknown) + tuple(bst.ruled)
+    out = []
+    for p in planes:
+        out.append(jnp.transpose(p[..., 0]))
+        out.append(jnp.transpose(p[..., 1]))
+    return tuple(out)
+
+
+def _from_kernel_planes(planes):
+    packed = []
+    for i in range(N_PLANES):
+        lo = jnp.transpose(planes[2 * i])
+        hi = jnp.transpose(planes[2 * i + 1])
+        packed.append(jnp.stack([lo, hi], axis=-1))
+    return BP.BitStable(packed[0], packed[1], tuple(packed[2:]))
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "batch_tile",
+                                             "interpret"))
+def propagate_fused(bst: BP.BitStable, max_iters=256, batch_tile=128,
+                    interpret=False):
+    """Fixpoint propagation with the fused step kernel; same contract as
+    stable.bitplane.propagate (per-board consistency/changed masks)."""
+    planes = _to_kernel_planes(bst)
+    b = planes[0].shape[1]
+    consistent0 = jnp.ones((b,), bool)
+    changed0 = jnp.zeros((b,), bool)
+    active0 = jnp.ones((b,), bool)
+
+    def cond(carry):
+        _, _, _, active, it = carry
+        return jnp.any(active) & (it < max_iters)
+
+    def body(carry):
+        planes, consistent, changed_ever, active, it = carry
+        new_planes, changed_p, abort_p = propagate_step_planes(
+            planes, batch_tile=batch_tile, interpret=interpret
+        )
+        step_changed = jnp.any(changed_p != 0, axis=0)
+        step_abort = jnp.any(abort_p != 0, axis=0)
+        ok = ~step_abort
+        apply = active & ok
+        planes = tuple(
+            jnp.where(apply[None, :], n, o) for n, o in zip(new_planes, planes)
+        )
+        consistent = consistent & (~active | ok)
+        changed_ever = changed_ever | (active & step_changed)
+        active = active & ok & step_changed
+        return planes, consistent, changed_ever, active, it + 1
+
+    planes, consistent, changed_ever, _, _ = jax.lax.while_loop(
+        cond, body, (planes, consistent0, changed0, active0, jnp.int32(0))
+    )
+    out = _from_kernel_planes(planes)
+    return BP.BitPropagateResult(out, consistent, changed_ever)

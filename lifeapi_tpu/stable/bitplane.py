@@ -197,44 +197,22 @@ def _encode_selected(sels):
 
 def synchronise_state_known(bst: BitStable):
     """Reference ``SynchroniseStateKnown`` (LifeStable.hpp:526-556), packed."""
-    known_on = ~bst.unknown & bst.state
-    known_off = ~bst.unknown & ~bst.state
-
-    maybe_dead_b = ~_dead_mask_and(bst.ruled)
-    maybe_live_b = ~(bst.ruled[0] & bst.ruled[1])
-    changes = (maybe_dead_b & known_on) | (maybe_live_b & known_off)
-
-    ruled = list(bst.ruled)
-    ruled[0] = ruled[0] | known_off
-    ruled[1] = ruled[1] | known_off
-    for i in range(2, 8):
-        ruled[i] = ruled[i] | known_on
-
-    maybe_dead = ~_dead_mask_and(tuple(ruled))
-    maybe_live = ~(ruled[0] & ruled[1])
-    abort = _any(~maybe_live & ~maybe_dead)
-
-    forced_on = maybe_live & ~maybe_dead
-    changes = changes | (~bst.state & forced_on)
-    state = bst.state | forced_on
-
-    still_unknown = maybe_live & maybe_dead
-    changes = changes | (bst.unknown & ~still_unknown)
-    unknown = bst.unknown & still_unknown
-
+    state, unknown, ruled, abort_cells, changes = sync_circuit(
+        bst.state, bst.unknown, bst.ruled
+    )
     return BitPropagateResult(
-        BitStable(state, unknown, tuple(ruled)), ~abort, _any(changes)
+        BitStable(state, unknown, ruled), ~_any(abort_cells), _any(changes)
     )
 
 
-def update_options(bst: BitStable):
-    """Reference ``UpdateOptions`` (LifeStable.hpp:558-615), packed."""
-    center_on = bst.state
-    center_unk = bst.unknown
-    known_off = ~bst.state & ~bst.unknown
+def update_circuit(state, unknown, ruled, on9, unk9):
+    """Pure elementwise part of UpdateOptions: returns (new_ruled tuple,
+    abort_cells plane, changes plane).  Counts are injected so this runs
+    identically on packed boards and on kernel-layout half-planes."""
+    center_on = state
+    center_unk = unknown
+    known_off = ~state & ~unknown
 
-    on9 = _counts_nibble(bst.state)
-    unk9 = _counts_nibble(bst.unknown)
     A = nb.sub_bit(on9, center_on)
     Un = nb.sub_bit(unk9, center_unk)
     AU = nb.add(A, Un)
@@ -243,50 +221,56 @@ def update_options(bst: BitStable):
     abort_cells = out[0]
     for o in out[1:]:
         abort_cells = abort_cells & o
-    abort = _any(abort_cells)
 
-    changes = jnp.zeros_like(bst.state)
-    ruled = list(bst.ruled)
+    changes = jnp.zeros_like(state)
+    new_ruled = list(ruled)
     for i in range(8):
         add = out[i] & ~abort_cells
-        changes = changes | (add & ~ruled[i])
-        ruled[i] = ruled[i] | add
+        changes = changes | (add & ~new_ruled[i])
+        new_ruled[i] = new_ruled[i] | add
+    return tuple(new_ruled), abort_cells, changes
 
+
+def update_options(bst: BitStable):
+    """Reference ``UpdateOptions`` (LifeStable.hpp:558-615), packed."""
+    on9 = _counts_nibble(bst.state)
+    unk9 = _counts_nibble(bst.unknown)
+    ruled, abort_cells, changes = update_circuit(
+        bst.state, bst.unknown, bst.ruled, on9, unk9
+    )
     return BitPropagateResult(
-        bst._replace(ruled=tuple(ruled)), ~abort, _any(changes)
+        bst._replace(ruled=ruled), ~_any(abort_cells), _any(changes)
     )
 
 
-def signal_neighbours(bst: BitStable):
-    """Reference ``SignalNeighbours`` (LifeStable.hpp:617-675), packed,
-    using the end-point equality simplification (module docstring)."""
-    center_on = bst.state
-    center_unk = bst.unknown
-    known_off = ~bst.state & ~bst.unknown
+def signal_circuit(state, unknown, ruled, s9, m9):
+    """Pure elementwise part of SignalNeighbours: returns (signal_on,
+    signal_off, center_on_force, center_off_force) planes; counts injected
+    (see update_circuit)."""
+    center_on = state
+    center_unk = unknown
+    known_off = ~state & ~unknown
 
-    s9 = _counts_nibble(bst.state)
-    m9 = _counts_nibble(bst.state | bst.unknown)
     A = nb.sub_bit(s9, center_on)
     U = nb.sub_bit(nb.sub(m9, s9), center_unk)
     AU = nb.add(A, U)
 
     maximal = _maximal_ruled_planes(A, AU, center_on, known_off)
-    o2 = [r | m for r, m in zip(bst.ruled, maximal)]
+    o2 = [r | m for r, m in zip(ruled, maximal)]
     o2_impossible = o2[0]
     for p in o2[1:]:
         o2_impossible = o2_impossible & p
     o2_ok = ~o2_impossible
 
-    possible = [~r for r in bst.ruled]
-    o_impossible = bst.ruled[0]
-    for p in bst.ruled[1:]:
+    possible = [~r for r in ruled]
+    o_impossible = ruled[0]
+    for p in ruled[1:]:
         o_impossible = o_impossible & p
     o_ok = ~o_impossible
 
     mo = _min_possible(possible)
     Mo = _max_possible(possible)
 
-    # three-state of o vs the cell's own state
     maybe_live_o = possible[0] | possible[1]
     maybe_dead_o = possible[2]
     for i in range(3, 8):
@@ -301,7 +285,6 @@ def signal_neighbours(bst: BitStable):
     signal_off = guards & nb.eq(Mo, A)
     signal_on = guards & nb.eq(mo, AU) & ~signal_off
 
-    # center forcing from o2 (reference new_center_function)
     possible2 = [~p for p in o2]
     maybe_live2 = possible2[0] | possible2[1]
     maybe_dead2 = possible2[2]
@@ -310,6 +293,48 @@ def signal_neighbours(bst: BitStable):
     cen_guards = center_unk & o2_ok
     center_on_f = cen_guards & maybe_live2 & ~maybe_dead2
     center_off_f = cen_guards & maybe_dead2 & ~maybe_live2
+    return signal_on, signal_off, center_on_f, center_off_f
+
+
+def sync_circuit(state, unknown, ruled):
+    """Pure elementwise SynchroniseStateKnown: returns (state', unknown',
+    ruled', abort_cells, changes)."""
+    known_on = ~unknown & state
+    known_off = ~unknown & ~state
+
+    maybe_dead_b = ~(ruled[2] & ruled[3] & ruled[4] & ruled[5] & ruled[6] & ruled[7])
+    maybe_live_b = ~(ruled[0] & ruled[1])
+    changes = (maybe_dead_b & known_on) | (maybe_live_b & known_off)
+
+    new_ruled = list(ruled)
+    new_ruled[0] = new_ruled[0] | known_off
+    new_ruled[1] = new_ruled[1] | known_off
+    for i in range(2, 8):
+        new_ruled[i] = new_ruled[i] | known_on
+
+    maybe_dead = ~(new_ruled[2] & new_ruled[3] & new_ruled[4] & new_ruled[5]
+                   & new_ruled[6] & new_ruled[7])
+    maybe_live = ~(new_ruled[0] & new_ruled[1])
+    abort_cells = ~maybe_live & ~maybe_dead
+
+    forced_on = maybe_live & ~maybe_dead
+    changes = changes | (~state & forced_on)
+    new_state = state | forced_on
+
+    still_unknown = maybe_live & maybe_dead
+    changes = changes | (unknown & ~still_unknown)
+    new_unknown = unknown & still_unknown
+    return new_state, new_unknown, tuple(new_ruled), abort_cells, changes
+
+
+def signal_neighbours(bst: BitStable):
+    """Reference ``SignalNeighbours`` (LifeStable.hpp:617-675), packed,
+    using the end-point equality simplification (module docstring)."""
+    s9 = _counts_nibble(bst.state)
+    m9 = _counts_nibble(bst.state | bst.unknown)
+    signal_on, signal_off, center_on_f, center_off_f = signal_circuit(
+        bst.state, bst.unknown, bst.ruled, s9, m9
+    )
 
     off_zoi = B.zoi_hollow(signal_off) | center_off_f
     on_zoi = B.zoi_hollow(signal_on) | center_on_f

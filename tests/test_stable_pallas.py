@@ -1,0 +1,107 @@
+"""The fused Pallas propagate must agree exactly with the jnp bit-plane
+path (which agrees with the dense path, which agrees with the scalar
+spec)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lifeapi_tpu.core import board, rle
+from lifeapi_tpu.ops import stable_pallas as SP
+from lifeapi_tpu.stable import bitplane as BP
+from lifeapi_tpu.stable import propagate as P
+from oracle import random_dense
+
+N = 64
+
+
+def _interp():
+    return jax.devices()[0].platform != "tpu"
+
+
+def _assert_same(a: BP.BitStable, b: BP.BitStable, mask=None):
+    sel = (lambda x: np.asarray(x)) if mask is None else (
+        lambda x: np.asarray(x)[mask]
+    )
+    assert (sel(a.state) == sel(b.state)).all()
+    assert (sel(a.unknown) == sel(b.unknown)).all()
+    for ra, rb in zip(a.ruled, b.ruled):
+        assert (sel(ra) == sel(rb)).all()
+
+
+def test_fused_step_matches_jnp_step(rng):
+    for trial in range(3):
+        state = random_dense(rng, p=0.15, batch=(8,))
+        unknown = random_dense(rng, p=0.25, batch=(8,)) & ~state
+        bst = BP.make(
+            state=board.from_dense(jnp.asarray(state)),
+            unknown=board.from_dense(jnp.asarray(unknown)),
+        )
+        # one fused step
+        planes = SP._to_kernel_planes(bst)
+        new_planes, changed_p, abort_p = SP.propagate_step_planes(
+            planes, batch_tile=8, interpret=_interp()
+        )
+        got = SP._from_kernel_planes(new_planes)
+        got_changed = np.asarray(jnp.any(changed_p != 0, axis=0))
+        got_abort = np.asarray(jnp.any(abort_p != 0, axis=0))
+
+        # reference: the jnp bit-plane step
+        expect = BP.propagate_step(bst)
+        exp_abort = ~np.asarray(expect.consistent)
+
+        assert (got_abort == exp_abort).all()
+        ok = ~got_abort & ~exp_abort
+        _assert_same(got, expect.stable, mask=ok)
+        # changed flags agree on consistent boards
+        assert (got_changed[ok] == np.asarray(expect.changed)[ok]).all()
+
+
+def test_fused_propagate_matches_jnp(rng):
+    eater = board.move(rle.parse("2b2o$bobo$bo$2o!"), 20, 20)
+    hide = board.from_cells([(20, 20), (21, 20)])
+    unknown = (board.zoi(eater) & ~eater) | hide
+    B = 8
+    bst = BP.make(
+        state=jnp.broadcast_to(eater & ~hide, (B, 64, 2)),
+        unknown=jnp.broadcast_to(unknown, (B, 64, 2)),
+    )
+    got = SP.propagate_fused(bst, batch_tile=8, interpret=_interp())
+    expect = BP.propagate(bst)
+    assert (np.asarray(got.consistent) == np.asarray(expect.consistent)).all()
+    ok = np.asarray(got.consistent)
+    _assert_same(got.stable, expect.stable, mask=ok)
+
+
+def test_fused_propagate_detects_contradiction(rng):
+    lone = board.from_cells([(30, 30)])
+    bst = BP.make(
+        state=jnp.broadcast_to(lone, (4, 64, 2)),
+        unknown=jnp.zeros((4, 64, 2), jnp.uint32),
+    )
+    got = SP.propagate_fused(bst, batch_tile=4, interpret=_interp())
+    assert not np.asarray(got.consistent).any()
+
+
+def test_fused_propagate_random_instances(rng):
+    from lifeapi_tpu.stable import host as H
+
+    B = 8
+    states, unknowns = [], []
+    for i in range(B):
+        truth = np.zeros((N, N), bool)
+        for _ in range(5):
+            x, y = rng.integers(4, 56, 2)
+            truth[x:x + 2, y:y + 2] = True
+        hide = (rng.random((N, N)) < 0.3) & H.zoi(truth)
+        states.append(truth & ~hide)
+        unknowns.append(hide | (H.zoi(H.zoi(truth)) & ~truth))
+    bst = BP.make(
+        state=board.from_dense(jnp.asarray(np.stack(states))),
+        unknown=board.from_dense(jnp.asarray(np.stack(unknowns))),
+    )
+    got = SP.propagate_fused(bst, batch_tile=8, interpret=_interp())
+    expect = BP.propagate(bst)
+    assert (np.asarray(got.consistent) == np.asarray(expect.consistent)).all()
+    ok = np.asarray(got.consistent)
+    _assert_same(got.stable, expect.stable, mask=ok)
