@@ -94,12 +94,12 @@ def _zoi_hollow(lo, hi):
     return out_lo, out_hi
 
 
-def _step_kernel(*refs):
-    # refs: 20 inputs (10 planes x lo/hi), then 22 outputs
-    ins = refs[:20]
-    outs = refs[20:]
-    lo = {i: ins[2 * i][:] for i in range(N_PLANES)}
-    hi = {i: ins[2 * i + 1][:] for i in range(N_PLANES)}
+def _step_planes(planes):
+    """One propagation step on a tuple of 20 in-register plane arrays
+    (10 planes x lo/hi).  Returns (new_planes, changed, abort) with
+    changed/abort as [64, Bt] bitmask arrays."""
+    lo = {i: planes[2 * i] for i in range(N_PLANES)}
+    hi = {i: planes[2 * i + 1] for i in range(N_PLANES)}
     # plane order: 0=state, 1=unknown, 2..9 ruled[0..7]
 
     halves = []
@@ -170,15 +170,75 @@ def _step_kernel(*refs):
         ph["ruled"] = tuple(rl)
         changed[k] = changed[k] | off_cells | on_cells
 
-    # write outputs: 20 planes + changed pair + abort pair
-    for k in range(2):
-        ph = synced[k]
-        outs[0 * 2 + k][:] = ph["state"]
-        outs[1 * 2 + k][:] = ph["unknown"]
-        for i in range(8):
-            outs[(2 + i) * 2 + k][:] = ph["ruled"][i]
-    outs[20][:] = changed[0] | changed[1]
-    outs[21][:] = abort[0] | abort[1]
+    new_planes = []
+    for i in range(N_PLANES):
+        for k in range(2):
+            ph = synced[k]
+            if i == 0:
+                new_planes.append(ph["state"])
+            elif i == 1:
+                new_planes.append(ph["unknown"])
+            else:
+                new_planes.append(ph["ruled"][i - 2])
+    return tuple(new_planes), changed[0] | changed[1], abort[0] | abort[1]
+
+
+def _step_kernel(*refs):
+    # refs: 20 inputs (10 planes x lo/hi), then 22 outputs
+    ins = refs[:20]
+    outs = refs[20:]
+    planes = tuple(r[:] for r in ins)
+    new_planes, changed, abort = _step_planes(planes)
+    for i in range(20):
+        outs[i][:] = new_planes[i]
+    outs[20][:] = changed
+    outs[21][:] = abort
+
+
+def _fixpoint_kernel(*refs, max_iters):
+    """Entire propagate fixpoint in VMEM: loop the step until no active
+    board in the tile changes.  Outputs the final planes plus per-lane
+    consistent / changed bitmasks (uint32[64, Bt], lane-constant)."""
+    ins = refs[:20]
+    outs = refs[20:]
+    planes = tuple(r[:] for r in ins)
+    ones = ~jnp.zeros_like(planes[0])
+    zeros = jnp.zeros_like(planes[0])
+
+    def lane_any(plane):
+        """Broadcast per-lane OR over sublanes back to a full uint32 mask
+        (all-ones / all-zeros per lane — NOT bool, which would promote to a
+        1-bit mask under uint32 bitwise ops)."""
+        any_l = jnp.any(plane != 0, axis=0, keepdims=True)
+        mask = jnp.where(any_l, U32(0xFFFFFFFF), U32(0))
+        return jnp.broadcast_to(mask, plane.shape)
+
+    def cond(carry):
+        _, alive, _, _, it = carry
+        return jnp.any(alive != 0) & (it < max_iters)
+
+    def body(carry):
+        planes, alive, aborted, changed_ever, it = carry
+        new_planes, changed, abort = _step_planes(planes)
+        abort_l = lane_any(abort)
+        changed_l = lane_any(changed)
+        apply = alive & ~abort_l
+        planes = tuple(
+            (n & apply) | (o & ~apply) for n, o in zip(new_planes, planes)
+        )
+        aborted = aborted | (alive & abort_l)
+        changed_ever = changed_ever | (alive & changed_l)
+        alive = alive & ~abort_l & changed_l
+        return planes, alive, aborted, changed_ever, it + 1
+
+    alive0 = jnp.where(jnp.zeros_like(planes[0]) == 0, ones, zeros)
+    planes, _, aborted, changed_ever, _ = jax.lax.while_loop(
+        cond, body, (planes, alive0, zeros, zeros, jnp.int32(0))
+    )
+    for i in range(20):
+        outs[i][:] = planes[i]
+    outs[20][:] = changed_ever
+    outs[21][:] = ~aborted  # consistent mask
 
 
 @functools.partial(jax.jit, static_argnames=("batch_tile", "interpret"))
@@ -223,6 +283,36 @@ def _from_kernel_planes(planes):
         hi = jnp.transpose(planes[2 * i + 1])
         packed.append(jnp.stack([lo, hi], axis=-1))
     return BP.BitStable(packed[0], packed[1], tuple(packed[2:]))
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "batch_tile",
+                                             "interpret"))
+def propagate_fused_inkernel(bst: BP.BitStable, max_iters=256,
+                             batch_tile=128, interpret=False):
+    """Whole propagate fixpoint in ONE pallas call: the while_loop runs in
+    VMEM, boards in a tile iterate until the slowest converges.  Contract:
+    per-board (consistent, changed); planes of INCONSISTENT boards are
+    unspecified (the reference discards them, LifeStable.hpp:723)."""
+    planes = _to_kernel_planes(bst)
+    b = planes[0].shape[1]
+    batch_tile = min(batch_tile, b)
+    assert b % batch_tile == 0
+    grid = (b // batch_tile,)
+    spec = pl.BlockSpec((64, batch_tile), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    out_shapes = tuple(jax.ShapeDtypeStruct((64, b), U32) for _ in range(22))
+    outs = pl.pallas_call(
+        functools.partial(_fixpoint_kernel, max_iters=max_iters),
+        out_shape=out_shapes,
+        grid=grid,
+        in_specs=[spec] * 20,
+        out_specs=(spec,) * 22,
+        interpret=interpret,
+    )(*planes)
+    out = _from_kernel_planes(outs[:20])
+    changed = jnp.any(outs[20] != 0, axis=0)
+    consistent = jnp.all(outs[21] != 0, axis=0)
+    return BP.BitPropagateResult(out, consistent, changed)
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "batch_tile",

@@ -83,6 +83,52 @@ def test_fused_propagate_detects_contradiction(rng):
     assert not np.asarray(got.consistent).any()
 
 
+def test_inkernel_fixpoint_matches_jnp(rng):
+    eater = board.move(rle.parse("2b2o$bobo$bo$2o!"), 20, 20)
+    hide = board.from_cells([(20, 20), (21, 20)])
+    unknown = (board.zoi(eater) & ~eater) | hide
+    B = 8
+    bst = BP.make(
+        state=jnp.broadcast_to(eater & ~hide, (B, 64, 2)),
+        unknown=jnp.broadcast_to(unknown, (B, 64, 2)),
+    )
+    got = SP.propagate_fused_inkernel(bst, batch_tile=8, interpret=_interp())
+    expect = BP.propagate(bst)
+    assert (np.asarray(got.consistent) == np.asarray(expect.consistent)).all()
+    ok = np.asarray(got.consistent)
+    _assert_same(got.stable, expect.stable, mask=ok)
+    # inconsistency detection too
+    lone = board.from_cells([(30, 30)])
+    bst2 = BP.make(state=jnp.broadcast_to(lone, (4, 64, 2)),
+                   unknown=jnp.zeros((4, 64, 2), jnp.uint32))
+    got2 = SP.propagate_fused_inkernel(bst2, batch_tile=4, interpret=_interp())
+    assert not np.asarray(got2.consistent).any()
+
+
+def test_inkernel_fixpoint_random_instances(rng):
+    from lifeapi_tpu.stable import host as H
+
+    B = 8
+    states, unknowns = [], []
+    for i in range(B):
+        truth = np.zeros((N, N), bool)
+        for _ in range(5):
+            x, y = rng.integers(4, 56, 2)
+            truth[x:x + 2, y:y + 2] = True
+        hide = (rng.random((N, N)) < 0.3) & H.zoi(truth)
+        states.append(truth & ~hide)
+        unknowns.append(hide | (H.zoi(H.zoi(truth)) & ~truth))
+    bst = BP.make(
+        state=board.from_dense(jnp.asarray(np.stack(states))),
+        unknown=board.from_dense(jnp.asarray(np.stack(unknowns))),
+    )
+    got = SP.propagate_fused_inkernel(bst, batch_tile=8, interpret=_interp())
+    expect = BP.propagate(bst)
+    assert (np.asarray(got.consistent) == np.asarray(expect.consistent)).all()
+    ok = np.asarray(got.consistent)
+    _assert_same(got.stable, expect.stable, mask=ok)
+
+
 def test_fused_propagate_random_instances(rng):
     from lifeapi_tpu.stable import host as H
 
