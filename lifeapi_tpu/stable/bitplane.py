@@ -115,17 +115,6 @@ def _any(plane):
     return ~B.is_empty(plane)
 
 
-def _live_mask_or(ruled):
-    return ruled[0] | ruled[1]
-
-
-def _dead_mask_and(ruled):
-    acc = ruled[2]
-    for i in range(3, 8):
-        acc = acc & ruled[i]
-    return acc
-
-
 def set_on(bst: BitStable, which):
     """Reference ``SetOn`` (LifeStable.hpp:320-329)."""
     ruled = list(bst.ruled)

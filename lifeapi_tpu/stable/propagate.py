@@ -6,7 +6,8 @@ bool ``state`` (known ON), bool ``unknown``, and a uint8 ``ruled`` options
 mask (bit set = option ruled out, same convention as the reference's
 inverted planes, LifeStable.hpp:44-53) over ``[..., 64, 64]`` grids indexed
 ``[x, y]``.  Neighbour counts come from 3x3 rolled sums; the per-cell rule
-netlists become lookup-table gathers (see options.py).  The fixpoint runs
+netlists become closed-form vectorized interval rules (rules_vec.py; the
+LUT forms in options.py remain the tested specification).  The fixpoint runs
 under ``lax.while_loop`` with per-board convergence and consistency masks,
 so thousands of independent CSPs propagate in lockstep (SURVEY.md section
 7).  The reference's strip variants (LifeStable.hpp:731-1249) are
