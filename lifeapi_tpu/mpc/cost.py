@@ -21,6 +21,11 @@ class CostWeights(NamedTuple):
     target: float = 1.0
     control: float = 0.01
     stable: float = 0.5
+    # weight on the MEAN per-step target cost along the trajectory; > 0
+    # rewards reaching (and holding) the target early — essential for
+    # receding-horizon control, where a terminal-only cost lets every plan
+    # defer the work past the applied window
+    path: float = 0.0
 
 
 def soft_target_cost(p, target: LifeTarget):
@@ -63,6 +68,9 @@ def soft_stable_cost(traj, protected):
 def soft_total(p_final, traj, controls, target, protected, w: CostWeights):
     c = w.target * soft_target_cost(p_final, target)
     c = c + w.control * soft_control_cost(controls)
+    # w.path may be a traced leaf of the problem pytree; always include
+    # the term (it is zero-weighted when path == 0)
+    c = c + w.path * jnp.mean(soft_target_cost(traj, target), axis=0)
     if protected is not None:
         c = c + w.stable * soft_stable_cost(traj, protected)
     return c

@@ -138,3 +138,21 @@ def test_stable_background_constraint():
     # block untouched, target reached
     assert bool(board.contains(sol.final_board, block))
     assert int(hamming_cost(sol.final_board, problem.target)) == 0
+
+
+def test_receding_horizon_reaches_target():
+    from lifeapi_tpu.mpc import receding
+
+    problem = _toy_problem(horizon=4)
+    # path cost makes the plan act inside the applied window instead of
+    # deferring to the end of every lookahead
+    problem = problem._replace(
+        weights=CostWeights(target=1.0, control=0.01, path=1.0)
+    )
+    result = receding.run(
+        problem, jax.random.key(11), steps=8, apply_horizon=2,
+        n_candidates=8, solve_iters=80,
+    )
+    assert result.boards.shape[0] == 9
+    err = receding.final_error(result, problem.target)
+    assert int(err) == 0, int(err)
