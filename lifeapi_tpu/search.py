@@ -95,3 +95,25 @@ def catalyst_search(active, catalyst, offsets, horizon, recovery_target=None,
 def successful_catalysts(result: PlacementResult):
     """Placements that interacted AND recovered — the search hits."""
     return result.interacted & result.recovered
+
+
+def catalyst_search_all_orientations(active, catalyst, offsets, horizon,
+                                     recovery_target=None):
+    """Sweep every distinct D8 orientation of the catalyst (symmetry orbit
+    representatives) over the placement grid; returns a list of
+    (transform, PlacementResult) pairs.  The per-orientation searches are
+    batched; orientations iterate on the host (<= 8)."""
+    from .symmetry import orbits
+
+    results = []
+    for t in orbits.symmetry_orbit_representatives(catalyst):
+        from .symmetry import transforms as tr
+
+        oriented = tr.transform(catalyst, t)
+        rt = None
+        if recovery_target is not None:
+            rt = recovery_target.transformed(t)
+        results.append(
+            (t, catalyst_search(active, oriented, offsets, horizon, rt))
+        )
+    return results

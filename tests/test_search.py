@@ -54,3 +54,18 @@ def test_candidate_offsets_excludes_immediate():
     offs = search.candidate_offsets(e, e, search_area=area)
     # offset (0,0) would overlap the pattern with itself: excluded
     assert not any((int(a), int(b)) == (0, 0) for a, b in np.asarray(offs))
+
+
+def test_all_orientations_finds_the_working_one():
+    from lifeapi_tpu.search import catalyst_search_all_orientations, successful_catalysts
+
+    glider = board.move(rle.parse(GLIDER), 8, 8)
+    eater = board.move(rle.parse(EATER), 24, 24)  # unoriented
+    offsets = jnp.asarray(
+        [[dx, dy] for dx in range(-4, 5) for dy in range(-4, 5)],
+        dtype=jnp.int32,
+    )
+    results = catalyst_search_all_orientations(glider, eater, offsets, horizon=80)
+    assert len(results) == 8  # eater has trivial symmetry
+    hit_orientations = [t for t, r in results if bool(successful_catalysts(r).any())]
+    assert hit_orientations, "no orientation of the eater worked"
