@@ -103,16 +103,29 @@ def catalyst_search_all_orientations(active, catalyst, offsets, horizon,
     representatives) over the placement grid; returns a list of
     (transform, PlacementResult) pairs.  The per-orientation searches are
     batched; orientations iterate on the host (<= 8)."""
-    from .symmetry import orbits
+    import numpy as np
 
+    from .symmetry import orbits
+    from .symmetry import transforms as tr
+
+    base_bounds = np.asarray(B.xy_bounds(catalyst))
     results = []
     for t in orbits.symmetry_orbit_representatives(catalyst):
-        from .symmetry import transforms as tr
-
         oriented = tr.transform(catalyst, t)
+        # re-anchor the rotated pattern at the original bounding-box corner
+        # so the offset grid stays relative to the same location
+        bo = np.asarray(B.xy_bounds(oriented))
+        oriented = B.move(oriented, int(base_bounds[0] - bo[0]),
+                          int(base_bounds[1] - bo[1]))
         rt = None
         if recovery_target is not None:
             rt = recovery_target.transformed(t)
+            rt = rt._replace(
+                wanted=B.move(rt.wanted, int(base_bounds[0] - bo[0]),
+                              int(base_bounds[1] - bo[1])),
+                unwanted=B.move(rt.unwanted, int(base_bounds[0] - bo[0]),
+                                int(base_bounds[1] - bo[1])),
+            )
         results.append(
             (t, catalyst_search(active, oriented, offsets, horizon, rt))
         )
