@@ -36,9 +36,12 @@ def _timed(fn, *args):
     return time.perf_counter() - t0
 
 
-def bench_propagate(B=1024, M=20):
+def bench_propagate(B=1024, M=20, fused=False):
     from lifeapi_tpu.core import board, rle
     from lifeapi_tpu.stable import bitplane as BP
+
+    if fused:
+        from lifeapi_tpu.ops import stable_pallas as SP
 
     eater = board.move(rle.parse("2b2o$bobo$bo$2o!"), 20, 20)
     unknown = board.zoi(board.zoi(eater)) & ~eater
@@ -56,15 +59,21 @@ def bench_propagate(B=1024, M=20):
                 jnp.roll(st.unknown, i, axis=-2),
                 st.ruled,
             )
-            res = BP.propagate(sti)
+            if fused:
+                res = SP.propagate_fused_inkernel(sti)
+            else:
+                res = BP.propagate(sti)
             return acc + jnp.sum(res.stable.ruled[0])
 
         return jax.lax.fori_loop(0, M, body, jnp.uint32(0))
 
     dt = _timed(run, st)
     fixpoints_per_sec = B * M / dt
+    name = "stable_propagate_fixpoints_per_sec"
+    if fused:
+        name += "_fused"
     print(json.dumps({
-        "metric": "stable_propagate_fixpoints_per_sec",
+        "metric": name,
         "value": fixpoints_per_sec,
         "unit": "fixpoints/s",
         "vs_baseline": fixpoints_per_sec / 6.7e5,
@@ -136,5 +145,7 @@ def bench_mpc(n_candidates=64, horizon=32, iters=100):
 
 if __name__ == "__main__":
     bench_propagate()
+    if jax.default_backend() == "tpu":
+        bench_propagate(fused=True)
     bench_beam_complete()
     bench_mpc()

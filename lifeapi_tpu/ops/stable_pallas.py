@@ -195,13 +195,10 @@ def _step_kernel(*refs):
     outs[21][:] = abort
 
 
-def _fixpoint_kernel(*refs, max_iters):
-    """Entire propagate fixpoint in VMEM: loop the step until no active
-    board in the tile changes.  Outputs the final planes plus per-lane
-    consistent / changed bitmasks (uint32[64, Bt], lane-constant)."""
-    ins = refs[:20]
-    outs = refs[20:]
-    planes = tuple(r[:] for r in ins)
+def _run_fixpoint(planes, max_iters):
+    """In-VMEM propagate fixpoint: loop the step until no active board in
+    the tile changes.  Returns (planes, aborted, changed_ever) with
+    aborted/changed as per-lane uint32 bitmasks (lane-constant)."""
     ones = ~jnp.zeros_like(planes[0])
     zeros = jnp.zeros_like(planes[0])
 
@@ -235,10 +232,92 @@ def _fixpoint_kernel(*refs, max_iters):
     planes, _, aborted, changed_ever, _ = jax.lax.while_loop(
         cond, body, (planes, alive0, zeros, zeros, jnp.int32(0))
     )
+    return planes, aborted, changed_ever
+
+
+def _fixpoint_kernel(*refs, max_iters):
+    """Entire propagate fixpoint in VMEM.  Outputs the final planes plus
+    per-lane consistent / changed bitmasks (uint32[64, Bt])."""
+    ins = refs[:20]
+    outs = refs[20:]
+    planes = tuple(r[:] for r in ins)
+    planes, aborted, changed_ever = _run_fixpoint(planes, max_iters)
     for i in range(20):
         outs[i][:] = planes[i]
     outs[20][:] = changed_ever
     outs[21][:] = ~aborted  # consistent mask
+
+
+def _priority_planes(planes):
+    """Branch-priority level masks (stable/bitplane.branch_levels) on
+    kernel-layout half-planes.  Returns 8 arrays, interleaved lo/hi per
+    level: (l1_lo, l1_hi, l2_lo, l2_hi, l3_lo, l3_hi, settable_lo,
+    settable_hi)."""
+    from ..stable import nibble as nb
+
+    lo = {i: planes[2 * i] for i in range(N_PLANES)}
+    hi = {i: planes[2 * i + 1] for i in range(N_PLANES)}
+    halves = []
+    for h in (lo, hi):
+        halves.append({
+            "state": h[0], "unknown": h[1],
+            "ruled": tuple(h[2 + i] for i in range(8)),
+        })
+
+    s_lo, s_hi = halves[0]["state"], halves[1]["state"]
+    u_lo, u_hi = halves[0]["unknown"], halves[1]["unknown"]
+    on9 = _count9(s_lo, s_hi)
+    unk9 = _count9(u_lo, u_hi)
+
+    vparts = [
+        BP.vulnerable_circuit(ph["state"], ph["unknown"], ph["ruled"],
+                              on9[k], unk9[k])
+        for k, ph in enumerate(halves)
+    ]
+    onz = _zoi_hollow(vparts[0][0], vparts[1][0])
+    offz = _zoi_hollow(vparts[0][1], vparts[1][1])
+    vuln = [
+        (onz[k] | vparts[k][2]) & (offz[k] | vparts[k][3]) for k in range(2)
+    ]
+
+    d_lo, d_hi = halves[0]["ruled"][2], halves[1]["ruled"][2]
+    dz = _zoi_hollow(d_lo, d_hi)
+    dzoi = (dz[0] | d_lo, dz[1] | d_hi)
+
+    out = []
+    for k in range(2):
+        ph = halves[k]
+        perturbed = ph["ruled"][0]
+        for r in ph["ruled"][1:]:
+            perturbed = perturbed | r
+        settable = dzoi[k] & perturbed & ph["unknown"]
+        out.append((
+            vuln[k] & settable,
+            settable & nb.eq_const(unk9[k], 2),
+            settable & nb.eq_const(unk9[k], 3),
+            settable,
+        ))
+    res = []
+    for j in range(4):
+        res.append(out[0][j])
+        res.append(out[1][j])
+    return tuple(res)
+
+
+def _fixpoint_beam_kernel(*refs, max_iters):
+    """Fixpoint + branch-priority masks in one kernel (the beam search's
+    whole per-round device work on the 10-plane state)."""
+    ins = refs[:20]
+    outs = refs[20:]
+    planes = tuple(r[:] for r in ins)
+    planes, aborted, changed_ever = _run_fixpoint(planes, max_iters)
+    prio = _priority_planes(planes)
+    for i in range(20):
+        outs[i][:] = planes[i]
+    outs[20][:] = changed_ever
+    outs[21][:] = ~aborted
+    for j in range(8):
+        outs[22 + j][:] = prio[j]
 
 
 @functools.partial(jax.jit, static_argnames=("batch_tile", "interpret"))
@@ -313,6 +392,45 @@ def propagate_fused_inkernel(bst: BP.BitStable, max_iters=256,
     changed = jnp.any(outs[20] != 0, axis=0)
     consistent = jnp.all(outs[21] != 0, axis=0)
     return BP.BitPropagateResult(out, consistent, changed)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "batch_tile",
+                                             "interpret"))
+def propagate_fused_beam(bst: BP.BitStable, max_iters=256, batch_tile=128,
+                         interpret=False):
+    """Propagate fixpoint AND branch-priority masks in ONE pallas call.
+    Returns ``(BitPropagateResult, levels)`` where ``levels`` is the
+    4-tuple of packed masks from stable/bitplane.branch_levels evaluated
+    on the propagated planes (unspecified for inconsistent boards, like
+    the planes themselves)."""
+    planes = _to_kernel_planes(bst)
+    b = planes[0].shape[1]
+    batch_tile = min(batch_tile, b)
+    assert b % batch_tile == 0
+    grid = (b // batch_tile,)
+    spec = pl.BlockSpec((64, batch_tile), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    out_shapes = tuple(jax.ShapeDtypeStruct((64, b), U32) for _ in range(30))
+    outs = pl.pallas_call(
+        functools.partial(_fixpoint_beam_kernel, max_iters=max_iters),
+        out_shape=out_shapes,
+        grid=grid,
+        in_specs=[spec] * 20,
+        out_specs=(spec,) * 30,
+        interpret=interpret,
+    )(*planes)
+    out = _from_kernel_planes(outs[:20])
+    changed = jnp.any(outs[20] != 0, axis=0)
+    consistent = jnp.all(outs[21] != 0, axis=0)
+    levels = tuple(
+        jnp.stack(
+            [jnp.transpose(outs[22 + 2 * j]),
+             jnp.transpose(outs[22 + 2 * j + 1])],
+            axis=-1,
+        )
+        for j in range(4)
+    )
+    return BP.BitPropagateResult(out, consistent, changed), levels
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "batch_tile",

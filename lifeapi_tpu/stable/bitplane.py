@@ -425,24 +425,26 @@ def step_ternary_packed(state, unknown, naive=False):
     return next_state, next_unknown
 
 
-def vulnerable(bst: BitStable):
-    """Reference ``Vulnerable`` heuristic (LifeStable.hpp:366-412), packed."""
-    center_on = bst.state
-    center_unk = bst.unknown
-    known_off = ~bst.state & ~bst.unknown
+def vulnerable_circuit(state, unknown, ruled, on9, unk9):
+    """Elementwise core of the ``Vulnerable`` heuristic: per-cell signal
+    masks ``(v_on, v_off, vc_on, vc_off)`` from the inclusive 9-counts.
+    The caller broadcasts ``v_on``/``v_off`` with a hollow ZOI (the only
+    cross-cell step) and combines — kept separate so the fused Pallas
+    kernel can evaluate it on VMEM-resident planes."""
+    center_on = state
+    center_unk = unknown
+    known_off = ~state & ~unknown
     center_known = ~center_unk
 
-    on9 = _counts_nibble(bst.state)
-    unk9 = _counts_nibble(bst.unknown)
     A = nb.sub_bit(on9, center_on)
     U = nb.sub_bit(unk9, center_unk)
 
-    one = nb.const(bst.state, 1)
+    one = nb.const(state, 1)
 
     def is_forced(c_on, c_off, c_unk, A_, U_):
         AU_ = nb.add(A_, U_)
         maximal = _maximal_ruled_planes(A_, AU_, c_on, c_off)
-        o2 = [r | m for r, m in zip(bst.ruled, maximal)]
+        o2 = [r | m for r, m in zip(ruled, maximal)]
         impossible = o2[0]
         for p in o2[1:]:
             impossible = impossible & p
@@ -459,7 +461,7 @@ def vulnerable(bst: BitStable):
         center_decided = c_unk & (maybe_live2 ^ maybe_dead2)
         return impossible | decided | center_decided
 
-    z = jnp.zeros_like(bst.state)
+    z = jnp.zeros_like(state)
     f_on = is_forced(center_on, known_off, center_unk, nb.add(A, one),
                      nb.sub(U, one))
     f_off = is_forced(center_on, known_off, center_unk, A, nb.sub(U, one))
@@ -473,7 +475,37 @@ def vulnerable(bst: BitStable):
     cen_ok = center_unk & ~nb.eq_const(U, 0)
     vc_on = cen_ok & fc_on
     vc_off = cen_ok & fc_off
+    return v_on, v_off, vc_on, vc_off
 
+
+def vulnerable(bst: BitStable):
+    """Reference ``Vulnerable`` heuristic (LifeStable.hpp:366-412), packed."""
+    on9 = _counts_nibble(bst.state)
+    unk9 = _counts_nibble(bst.unknown)
+    v_on, v_off, vc_on, vc_off = vulnerable_circuit(
+        bst.state, bst.unknown, bst.ruled, on9, unk9
+    )
     on = B.zoi_hollow(v_on) | vc_on
     off = B.zoi_hollow(v_off) | vc_off
     return on & off
+
+
+def branch_levels(bst: BitStable):
+    """Branch-priority level masks for the frontier search, highest
+    priority first (reference branch-cell order, LifeStable.hpp:1377-1391):
+    vulnerable, exactly-2-unknown window, exactly-3-unknown window, any
+    settable cell — each intersected with the settable set
+    (``PerturbedUnknowns() & dead0.ZOI()``, LifeStable.hpp:1357)."""
+    unk9 = _counts_nibble(bst.unknown)
+    vuln = vulnerable(bst)
+    dead0 = bst.ruled[2]
+    perturbed = bst.ruled[0]
+    for r in bst.ruled[1:]:
+        perturbed = perturbed | r
+    settable = B.zoi(dead0) & perturbed & bst.unknown
+    return (
+        vuln & settable,
+        settable & nb.eq_const(unk9, 2),
+        settable & nb.eq_const(unk9, 3),
+        settable,
+    )

@@ -166,21 +166,85 @@ class BeamResult(NamedTuple):
     best_pop: "np.ndarray"  # int32[B]
 
 
-def _beam_body(carry, minimise):
+def _propagate_frontier(cur, fused, interpret):
+    """Propagate a [B, F] frontier of BitStables and compute the
+    branch-priority level masks of the result.  The fused path runs BOTH
+    in one Pallas call (ops/stable_pallas.propagate_fused_beam) on a flat
+    [B*F] batch in kernel layout; the jnp path composes
+    bitplane.propagate + bitplane.branch_levels.  Returns
+    (BitPropagateResult, levels 4-tuple of packed masks)."""
+    from . import bitplane as BP
+
+    if not fused:
+        res = BP.propagate(cur)
+        return res, BP.branch_levels(res.stable)
+
+    import jax.numpy as jnp
+
+    from ..ops import stable_pallas as SP
+
+    B, F = cur.state.shape[:2]
+    flat = B * F
+    tile = 128 if flat >= 128 else flat
+    pad = (-flat) % tile
+
+    def flatten(x):
+        x = x.reshape((flat,) + x.shape[2:])
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
+            )
+        return x
+
+    fbst = BP.BitStable(
+        flatten(cur.state), flatten(cur.unknown),
+        tuple(flatten(r) for r in cur.ruled),
+    )
+    res, flat_levels = SP.propagate_fused_beam(fbst, batch_tile=tile,
+                                               interpret=interpret)
+
+    def unflatten(x):
+        return x[:flat].reshape((B, F) + x.shape[1:])
+
+    st = BP.BitStable(
+        unflatten(res.stable.state), unflatten(res.stable.unknown),
+        tuple(unflatten(r) for r in res.stable.ruled),
+    )
+    return BP.BitPropagateResult(
+        st, res.consistent[:flat].reshape(B, F),
+        res.changed[:flat].reshape(B, F),
+    ), tuple(unflatten(l) for l in flat_levels)
+
+
+def _first_cell_mask(packed):
+    """Isolate the lexicographically first set cell (lowest column, then
+    lowest row) of each packed board: word-level argmax + lowest-set-bit,
+    no dense 64x64 expansion."""
+    import jax.numpy as jnp
+
+    lead = packed.shape[:-2]
+    words = packed.reshape(lead + (128,))
+    idx = jnp.argmax(words != 0, axis=-1)
+    w = jnp.take_along_axis(words, idx[..., None], axis=-1)[..., 0]
+    bit = w & (~w + jnp.uint32(1))  # w & -w
+    sel = jnp.arange(128, dtype=idx.dtype) == idx[..., None]
+    cellw = jnp.where(sel, bit[..., None], jnp.uint32(0))
+    return cellw.reshape(lead + (64, 2))
+
+
+def _beam_body(carry, minimise, fused, interpret):
     """One beam round: propagate every frontier candidate, harvest leaves,
     branch on the heuristic cell, keep the best F children."""
-    import jax
     import jax.numpy as jnp
 
     from ..core import board as BRD
-    from ..core import step as STP
     from . import bitplane as BP
 
     cur, active, best, best_pop, found = carry
     B, F = active.shape
     N = 64
 
-    res = BP.propagate(cur)
+    res, levels = _propagate_frontier(cur, fused, interpret)
     cur = res.stable
     ok = active & res.consistent
 
@@ -192,11 +256,7 @@ def _beam_body(carry, minimise):
         # first-solution mode: stop working on solved problems
         ok = ok & ~found[:, None]
 
-    dead0_ruled = cur.ruled[2]
-    perturbed = cur.ruled[0]
-    for r in cur.ruled[1:]:
-        perturbed = perturbed | r
-    settable = BRD.zoi(dead0_ruled) & perturbed & cur.unknown
+    settable = levels[3]
     is_leaf = ok & BRD.is_empty(settable)
 
     # record the best leaf of this round per problem
@@ -213,23 +273,14 @@ def _beam_body(carry, minimise):
 
     ok = ok & ~is_leaf
 
-    # branch-cell heuristic (reference LifeStable.hpp:1377-1391)
-    unk_planes = STP.neighbour_counts(cur.unknown)
-    vuln = BP.vulnerable(cur)
-    levels = (
-        vuln & settable,
-        settable & STP.with_exactly(unk_planes, 2),
-        settable & STP.with_exactly(unk_planes, 3),
-        settable,
-    )
-    prio = None
-    for weight, mask in zip((4, 3, 2, 1), levels):
-        t = BRD.to_dense(mask).astype(jnp.int8) * jnp.int8(weight)
-        prio = t if prio is None else jnp.maximum(prio, t)
-    flat = prio.reshape(B, F, N * N)
-    cell = jnp.argmax(flat, axis=-1)
-    cell_dense = jax.nn.one_hot(cell, N * N, dtype=bool).reshape(B, F, N, N)
-    cell_mask = BRD.from_dense(cell_dense) & jnp.where(
+    # branch-cell heuristic (reference LifeStable.hpp:1377-1391): first
+    # cell of the highest nonempty priority level, picked word-wise on the
+    # packed masks (no dense 64x64 expansion)
+    chosen = levels[3]
+    for lvl in (levels[2], levels[1], levels[0]):
+        has = ~BRD.is_empty(lvl)
+        chosen = jnp.where(has[..., None, None], lvl, chosen)
+    cell_mask = _first_cell_mask(chosen) & jnp.where(
         ok[..., None, None], jnp.uint32(0xFFFFFFFF), jnp.uint32(0)
     )
 
@@ -264,14 +315,28 @@ def _make_beam_runner():
 
     import jax
 
-    @functools.partial(jax.jit, static_argnames=("iters", "minimise"))
-    def run(cur0, active0, best0, best_pop0, found0, iters, minimise):
-        carry = (cur0, active0, best0, best_pop0, found0)
+    @functools.partial(
+        jax.jit, static_argnames=("iters", "minimise", "fused", "interpret")
+    )
+    def run(cur0, active0, best0, best_pop0, found0, iters, minimise,
+            fused, interpret):
+        import jax.numpy as jnp
 
-        def loop_body(i, carry):
-            return _beam_body(carry, minimise)
+        carry = (cur0, active0, best0, best_pop0, found0, jnp.int32(0))
 
-        return jax.lax.fori_loop(0, iters, loop_body, carry)
+        def cond(carry):
+            # early exit once every frontier is exhausted (all leaves
+            # harvested / pruned) — matches the DFS returning when its
+            # stack empties
+            _, active, _, _, _, it = carry
+            return jnp.any(active) & (it < iters)
+
+        def loop_body(carry):
+            *state, it = carry
+            out = _beam_body(tuple(state), minimise, fused, interpret)
+            return out + (it + 1,)
+
+        return jax.lax.while_loop(cond, loop_body, carry)[:-1]
 
     return run
 
@@ -279,7 +344,8 @@ def _make_beam_runner():
 _BEAM_RUN = None
 
 
-def complete_stable_beam(stable, frontier=8, iters=192, minimise=True):
+def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
+                         fused=None, interpret=False):
     """Batched frontier search over ``[B]`` independent problems.
 
     Each problem keeps a frontier of up to ``frontier`` candidate partial
@@ -293,7 +359,13 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True):
     advance per kernel call (SURVEY.md section 7).  The compiled loop is
     cached at module level, so repeated calls with the same shapes reuse
     the executable.
+
+    ``fused`` selects the in-kernel Pallas propagate fixpoint
+    (ops/stable_pallas.py) instead of the jnp bit-plane path; ``None``
+    auto-enables it on TPU backends.  ``interpret`` runs the Pallas kernel
+    in interpreter mode (CPU testing only).
     """
+    import jax
     import jax.numpy as jnp
 
     from ..core import board as BRD
@@ -302,6 +374,9 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True):
     global _BEAM_RUN
     if _BEAM_RUN is None:
         _BEAM_RUN = _make_beam_runner()
+
+    if fused is None:
+        fused = jax.default_backend() == "tpu"
 
     F = frontier
     N = 64
@@ -322,7 +397,8 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True):
     best_pop0 = jnp.full((B,), jnp.iinfo(jnp.int32).max, jnp.int32)
     found0 = jnp.zeros((B,), bool)
 
-    out = _BEAM_RUN(cur0, active0, best0, best_pop0, found0, iters, minimise)
+    out = _BEAM_RUN(cur0, active0, best0, best_pop0, found0, iters, minimise,
+                    fused, interpret)
     _, _, best, best_pop, found = out
     best_dense = BRD.to_dense(best)
     return BeamResult(

@@ -151,3 +151,55 @@ def test_fused_propagate_random_instances(rng):
     assert (np.asarray(got.consistent) == np.asarray(expect.consistent)).all()
     ok = np.asarray(got.consistent)
     _assert_same(got.stable, expect.stable, mask=ok)
+
+
+def test_beam_fused_matches_jnp_beam():
+    """complete_stable_beam(fused=True) must find the same incumbents as
+    the jnp-propagate beam (identical branch decisions, so identical
+    trajectories)."""
+    from lifeapi_tpu.stable import complete as C
+
+    eater = board.move(rle.parse("2b2o$bobo$bo$2o!"), 20, 20)
+    hide = board.from_cells([(20, 20), (21, 20)])
+    unknown = (board.zoi(eater) & ~eater) | hide
+    st = P.make(
+        state=jnp.broadcast_to(board.to_dense(eater & ~hide), (2, N, N)),
+        unknown=jnp.broadcast_to(board.to_dense(unknown), (2, N, N)),
+    )
+    ref = C.complete_stable_beam(st, frontier=2, iters=10, minimise=True,
+                                 fused=False)
+    got = C.complete_stable_beam(st, frontier=2, iters=10, minimise=True,
+                                 fused=True, interpret=_interp())
+    assert (got.found == ref.found).all()
+    assert (got.best_pop == ref.best_pop).all()
+    assert (got.best == ref.best).all()
+
+
+def test_fused_beam_levels_match_jnp(rng):
+    """propagate_fused_beam's priority masks must equal
+    bitplane.branch_levels of the jnp-propagated planes (consistent
+    boards)."""
+    from lifeapi_tpu.stable import host as H
+
+    B = 8
+    states, unknowns = [], []
+    for i in range(B):
+        truth = np.zeros((N, N), bool)
+        for _ in range(4):
+            x, y = rng.integers(4, 56, 2)
+            truth[x:x + 2, y:y + 2] = True
+        hide = (rng.random((N, N)) < 0.25) & H.zoi(truth)
+        states.append(truth & ~hide)
+        unknowns.append(hide | (H.zoi(H.zoi(truth)) & ~truth))
+    bst = BP.make(
+        state=board.from_dense(jnp.asarray(np.stack(states))),
+        unknown=board.from_dense(jnp.asarray(np.stack(unknowns))),
+    )
+    got, got_levels = SP.propagate_fused_beam(bst, batch_tile=8,
+                                              interpret=_interp())
+    expect = BP.propagate(bst)
+    exp_levels = BP.branch_levels(expect.stable)
+    ok = np.asarray(got.consistent)
+    assert (ok == np.asarray(expect.consistent)).all()
+    for g, e in zip(got_levels, exp_levels):
+        assert (np.asarray(g)[ok] == np.asarray(e)[ok]).all()
