@@ -80,7 +80,7 @@ def bench_propagate(B=1024, M=20, fused=False):
     }), flush=True)
 
 
-def bench_beam_complete(B=256):
+def bench_beam_complete(B=2048):
     from lifeapi_tpu.core import board, rle
     from lifeapi_tpu.stable import complete as C
     from lifeapi_tpu.stable import propagate as P
@@ -110,6 +110,44 @@ def bench_beam_complete(B=256):
         "unit": "solves/s",
         "vs_baseline": solves_per_sec / 3333.0,
         "found_fraction": found,
+    }), flush=True)
+
+
+def bench_convolve(B=4096, M=8):
+    """Batched OR-convolution (the reference's Convolve contract,
+    LifeAPI.hpp:1284-1370; baseline ~1.0e7 conv/s for 7x7-cell sparse
+    operands on one Xeon core)."""
+    from lifeapi_tpu.core import board
+    from lifeapi_tpu.core import convolve as CV
+
+    rng = np.random.default_rng(0)
+
+    def mk():
+        d = np.zeros((B, 64, 64), bool)
+        for i in range(B):
+            xs = rng.integers(20, 28, 7)
+            ys = rng.integers(20, 28, 7)
+            d[i, xs, ys] = True
+        return board.from_dense(jnp.asarray(d))
+
+    a, b = mk(), mk()
+
+    @jax.jit
+    def run(a, b):
+        def body(i, acc):
+            ai = jnp.roll(a, i, axis=-2)
+            res = CV.convolve(ai, b)
+            return acc + jnp.sum(res, dtype=jnp.uint32)
+
+        return jax.lax.fori_loop(0, M, body, jnp.uint32(0))
+
+    dt = _timed(run, a, b)
+    conv_per_sec = B * M / dt
+    print(json.dumps({
+        "metric": "convolve_per_sec",
+        "value": conv_per_sec,
+        "unit": "conv/s",
+        "vs_baseline": conv_per_sec / 1.0e7,
     }), flush=True)
 
 
@@ -148,4 +186,5 @@ if __name__ == "__main__":
     if jax.default_backend() == "tpu":
         bench_propagate(fused=True)
     bench_beam_complete()
+    bench_convolve()
     bench_mpc()

@@ -164,6 +164,11 @@ class BeamResult(NamedTuple):
     found: "np.ndarray"  # bool[B]
     best: "np.ndarray"  # bool[B, 64, 64]
     best_pop: "np.ndarray"  # int32[B]
+    # True iff the search ran to exhaustion WITHOUT ever dropping an
+    # active candidate (frontier never overflowed) and found nothing: a
+    # sound proof the instance has no completion (reference
+    # ``CompletionResult::INCONSISTENT``, LifeStable.hpp:186-190).
+    proved_inconsistent: "np.ndarray" = None  # bool[B]
 
 
 def _propagate_frontier(cur, fused, interpret):
@@ -240,7 +245,7 @@ def _beam_body(carry, minimise, fused, interpret):
     from ..core import board as BRD
     from . import bitplane as BP
 
-    cur, active, best, best_pop, found = carry
+    cur, active, best, best_pop, found, complete = carry
     B, F = active.shape
     N = 64
 
@@ -297,7 +302,8 @@ def _beam_body(carry, minimise, fused, interpret):
     cand_active = cat(ok, ok)
     cand_pop = cat(pop, pop + 1)
     score = jnp.where(cand_active, cand_pop, jnp.iinfo(jnp.int32).max)
-    order = jnp.argsort(score, axis=1)[:, :F]
+    full_order = jnp.argsort(score, axis=1)
+    order = full_order[:, :F]
     take = lambda x: jnp.take_along_axis(
         x, order.reshape(B, F, *([1] * (x.ndim - 2))), axis=1
     )
@@ -307,7 +313,12 @@ def _beam_body(carry, minimise, fused, interpret):
     )
     active = jnp.take_along_axis(cand_active, order, axis=1)
 
-    return (cur, active, best, best_pop, found)
+    # an active candidate beyond capacity was dropped: the search is no
+    # longer exhaustive, so a later empty frontier proves nothing
+    dropped = jnp.take_along_axis(cand_active, full_order[:, F:], axis=1)
+    complete = complete & ~jnp.any(dropped, axis=1)
+
+    return (cur, active, best, best_pop, found, complete)
 
 
 def _make_beam_runner():
@@ -322,13 +333,16 @@ def _make_beam_runner():
             fused, interpret):
         import jax.numpy as jnp
 
-        carry = (cur0, active0, best0, best_pop0, found0, jnp.int32(0))
+        complete0 = jnp.ones(found0.shape, bool)
+        carry = (cur0, active0, best0, best_pop0, found0, complete0,
+                 jnp.int32(0))
 
         def cond(carry):
             # early exit once every frontier is exhausted (all leaves
             # harvested / pruned) — matches the DFS returning when its
             # stack empties
-            _, active, _, _, _, it = carry
+            active = carry[1]
+            it = carry[-1]
             return jnp.any(active) & (it < iters)
 
         def loop_body(carry):
@@ -399,8 +413,11 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
 
     out = _BEAM_RUN(cur0, active0, best0, best_pop0, found0, iters, minimise,
                     fused, interpret)
-    _, _, best, best_pop, found = out
+    _, active, best, best_pop, found, complete = out
     best_dense = BRD.to_dense(best)
+    exhausted = ~jnp.any(active, axis=1)
+    proved = exhausted & complete & ~found
     return BeamResult(
-        np.asarray(found), np.asarray(best_dense), np.asarray(best_pop)
+        np.asarray(found), np.asarray(best_dense), np.asarray(best_pop),
+        np.asarray(proved),
     )

@@ -251,12 +251,21 @@ def to_stable_with_history(weld: LifeWeld, active, duration, mask=None):
 
 
 def unweldable_mask(a: LifeWeld, b: LifeWeld, starting_good=None,
-                    starting_bad=None, solve_timeout=0.05):
+                    starting_bad=None, solve_timeout=0.05, engine="host",
+                    batch_size=256, beam_frontier=4, beam_iters=48):
     """For every untested relative placement, weld the two patterns and try
     to complete a stable background; INCONSISTENT placements are bad — an
     expensive compatibility prefilter (reference ``UnweldableMask``,
-    LifeWeld.hpp:247-277).  Host-driven loop over offsets; each solve is
-    the DFS completer."""
+    LifeWeld.hpp:247-277).
+
+    ``engine="host"`` is the faithful counterpart of the reference loop:
+    one DFS completion per offset with a ``solve_timeout`` budget.
+    ``engine="beam"`` is the TPU-native form — ALL untested placements
+    become one batched still-life problem set solved by
+    ``complete_stable_beam`` in chunks of ``batch_size``; a placement is
+    marked bad only on the beam's sound inconsistency proof
+    (``BeamResult.proved_inconsistent``), so the result is a (possibly
+    smaller but never wrong) subset of what an unbounded DFS would mark."""
     import numpy as np
 
     from .stable import complete as C
@@ -269,6 +278,33 @@ def unweldable_mask(a: LifeWeld, b: LifeWeld, starting_good=None,
 
     to_test = ~known_good & ~known_bad
     bad_dense = np.array(B.to_dense(known_bad))
+
+    if engine == "beam":
+        import jax
+
+        offsets = list(B.on_cells(to_test))
+        if not offsets:
+            return B.from_dense(jnp.asarray(bad_dense))
+
+        @jax.jit
+        def build(xy):
+            return jax.vmap(
+                lambda o: to_stable(a | b.moved(o[0], o[1]))
+            )(xy)
+
+        for lo in range(0, len(offsets), batch_size):
+            chunk = offsets[lo:lo + batch_size]
+            padded = chunk + [chunk[0]] * (batch_size - len(chunk))
+            sts = build(jnp.asarray(padded, jnp.int32))
+            res = C.complete_stable_beam(
+                sts, frontier=beam_frontier, iters=beam_iters,
+                minimise=False,
+            )
+            for (x, y), is_bad in zip(chunk, res.proved_inconsistent):
+                if is_bad:
+                    bad_dense[x, y] = True
+        return B.from_dense(jnp.asarray(bad_dense))
+
     for x, y in B.on_cells(to_test):
         placed = a | b.moved(x, y)
         st = to_stable(placed)

@@ -111,3 +111,43 @@ def test_interaction_offsets_frozen_aware():
     assert bool(board.get_cell(offs, 0, 0))
     # far-away offsets don't interact
     assert not bool(board.get_cell(offs, 30, 30))
+
+
+def test_unweldable_mask_beam_never_marks_weldable_placements():
+    """Two plain still lifes weld at every non-interacting offset; the
+    beam engine's inconsistency proofs must mark nothing."""
+    a = W.LifeWeld.from_state(_parse_centered("2o$2o!"))
+    b = W.LifeWeld.from_state(_parse_centered("2b2o$bobo$bo$2o!"))
+
+    window = np.zeros((64, 64), bool)
+    window[3:7, 1:5] = True
+    good0 = board.from_dense(jnp.asarray(~window))
+
+    inter = np.asarray(board.to_dense(W.interaction_offsets(a, b)))
+    beam_bad = np.asarray(board.to_dense(W.unweldable_mask(
+        a, b, starting_good=good0, engine="beam",
+        batch_size=16, beam_iters=16)))
+    assert not (beam_bad & window & ~inter).any()
+
+
+def test_unweldable_mask_beam_subset_of_host():
+    """Every placement the beam proves unweldable must also be
+    INCONSISTENT for the reference-faithful host DFS engine."""
+    state = _parse_centered(REQUIRED_PAIRS[0][0])
+    required = _parse_centered(REQUIRED_PAIRS[0][1], -1, -1)
+    a = W.from_required(state, required)
+    b = W.LifeWeld.from_state(_parse_centered("2o$2o!"))
+
+    window = np.zeros((64, 64), bool)
+    window[1:5, 1:4] = True
+    good0 = board.from_dense(jnp.asarray(~window))
+
+    inter = np.asarray(board.to_dense(W.interaction_offsets(a, b)))
+    host_bad = np.asarray(board.to_dense(W.unweldable_mask(
+        a, b, starting_good=good0, solve_timeout=3.0)))
+    beam_bad = np.asarray(board.to_dense(W.unweldable_mask(
+        a, b, starting_good=good0, engine="beam",
+        batch_size=16, beam_iters=16)))
+    hw = host_bad & window & ~inter
+    bw = beam_bad & window & ~inter
+    assert (bw <= hw).all()
