@@ -94,7 +94,8 @@ def bench_beam_complete(B=2048):
     )
 
     def run():
-        res = C.complete_stable_beam(st, frontier=4, iters=24, minimise=True)
+        res = C.complete_stable_beam(st, frontier=4, iters=24, minimise=True,
+                                     dense=False)
         return res
 
     res = run()  # warm (complete_stable_beam jits internally)

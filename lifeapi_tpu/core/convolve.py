@@ -27,21 +27,78 @@ def _fft(x_dense):
     return jnp.fft.rfft2(x_dense.astype(jnp.float32), axes=(-2, -1))
 
 
-def convolve_counts(a, b):
+_DFT_W = None
+
+
+def _dft_matrix():
+    # cache the HOST matrix (a jnp constant created inside a jit trace is a
+    # tracer and must not outlive the trace)
+    global _DFT_W
+    if _DFT_W is None:
+        import numpy as np
+
+        k = np.arange(N)
+        _DFT_W = np.exp(-2j * np.pi * np.outer(k, k) / N).astype(np.complex64)
+    return jnp.asarray(_DFT_W)
+
+
+def _dft2(x_dense):
+    """2D DFT as two complex 64x64 matmuls.  On TPU this rides the MXU and
+    is an order of magnitude faster than XLA's FFT lowering for these tiny
+    transforms (measured: the FFT path benched 6e5 conv/s vs the reference
+    CPU's 1e7/s; the matmul path recovers the gap)."""
+    import jax.lax as lax
+
+    w = _dft_matrix()
+    x = x_dense.astype(jnp.complex64)
+    y = jnp.matmul(x, w, precision=lax.Precision.HIGHEST)
+    z = jnp.matmul(jnp.swapaxes(y, -1, -2), w,
+                   precision=lax.Precision.HIGHEST)
+    return jnp.swapaxes(z, -1, -2)
+
+
+def _idft2_real(f):
+    import jax.lax as lax
+
+    w = jnp.conj(_dft_matrix())
+    y = jnp.matmul(f, w, precision=lax.Precision.HIGHEST)
+    z = jnp.matmul(jnp.swapaxes(y, -1, -2), w,
+                   precision=lax.Precision.HIGHEST)
+    return jnp.real(jnp.swapaxes(z, -1, -2)) * (1.0 / (N * N))
+
+
+def _prefer_dft():
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
+def _conv_real(da, db, method=None):
+    """Real-valued circular convolution of dense [..., 64, 64] fields.
+    ``method``: "dft" (matmul transform, the TPU default), "fft"
+    (jnp.fft, the CPU default), or None for the backend-appropriate one.
+    Both are exact for these integer-valued convolutions (counts are
+    bounded by 4096; tests/test_convolve.py checks the paths agree)."""
+    if method is None:
+        method = "dft" if _prefer_dft() else "fft"
+    if method == "dft":
+        return _idft2_real(_dft2(da) * _dft2(db))
+    fa = _fft(da)
+    fb = _fft(db)
+    return jnp.fft.irfft2(fa * fb, s=(N, N), axes=(-2, -1))
+
+
+def convolve_counts(a, b, method=None):
     """Circular convolution counts: int32[..., 64, 64] where entry (x, y) is
     the number of pairs of ON cells (p in a, q in b) with p + q == (x, y)."""
-    fa = _fft(to_dense(a))
-    fb = _fft(to_dense(b))
-    conv = jnp.fft.irfft2(fa * fb, s=(N, N), axes=(-2, -1))
+    conv = _conv_real(to_dense(a), to_dense(b), method)
     return jnp.round(conv).astype(jnp.int32)
 
 
-def convolve(a, b):
+def convolve(a, b, method=None):
     """OR-convolution (dilation of a by b), bit-identical to the reference
     ``LifeState::Convolve`` (LifeAPI.hpp:1293-1370)."""
-    fa = _fft(to_dense(a))
-    fb = _fft(to_dense(b))
-    conv = jnp.fft.irfft2(fa * fb, s=(N, N), axes=(-2, -1))
+    conv = _conv_real(to_dense(a), to_dense(b), method)
     return from_dense(conv > 0.5)
 
 

@@ -359,7 +359,7 @@ _BEAM_RUN = None
 
 
 def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
-                         fused=None, interpret=False):
+                         fused=None, interpret=False, dense=True):
     """Batched frontier search over ``[B]`` independent problems.
 
     Each problem keeps a frontier of up to ``frontier`` candidate partial
@@ -377,7 +377,9 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
     ``fused`` selects the in-kernel Pallas propagate fixpoint
     (ops/stable_pallas.py) instead of the jnp bit-plane path; ``None``
     auto-enables it on TPU backends.  ``interpret`` runs the Pallas kernel
-    in interpreter mode (CPU testing only).
+    in interpreter mode (CPU testing only).  ``dense=False`` returns
+    ``best`` as a packed uint32[B, 64, 2] board instead of dense bools —
+    an 8x smaller readback, which matters through a tunneled backend.
     """
     import jax
     import jax.numpy as jnp
@@ -414,10 +416,10 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
     out = _BEAM_RUN(cur0, active0, best0, best_pop0, found0, iters, minimise,
                     fused, interpret)
     _, active, best, best_pop, found, complete = out
-    best_dense = BRD.to_dense(best)
+    best_out = BRD.to_dense(best) if dense else best
     exhausted = ~jnp.any(active, axis=1)
     proved = exhausted & complete & ~found
     return BeamResult(
-        np.asarray(found), np.asarray(best_dense), np.asarray(best_pop),
+        np.asarray(found), np.asarray(best_out), np.asarray(best_pop),
         np.asarray(proved),
     )

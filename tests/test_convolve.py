@@ -121,3 +121,25 @@ def test_components_vertically_separated():
     state = board.from_cells([(5, 5), (5, 8)])
     comps = convolve.components(state)
     assert len(comps) == 2
+
+
+def test_dft_matches_fft_paths(rng):
+    """The matmul-DFT transform (TPU path) and jnp.fft (CPU path) must
+    produce identical integer counts, including the worst-case magnitudes
+    (dense p=0.5 boards and the all-ones board where the spectral DC term
+    reaches 4096^2)."""
+    cases = []
+    for p in (0.05, 0.5):
+        cases.append((random_dense(rng, p=p, batch=(4,)),
+                      random_dense(rng, p=p, batch=(4,))))
+    ones = np.ones((1, 64, 64), bool)
+    cases.append((ones, ones))
+    for da, db in cases:
+        a = board.from_dense(jnp.asarray(da))
+        b = board.from_dense(jnp.asarray(db))
+        via_fft = np.asarray(convolve.convolve_counts(a, b, method="fft"))
+        via_dft = np.asarray(convolve.convolve_counts(a, b, method="dft"))
+        assert (via_fft == via_dft).all()
+        or_fft = np.asarray(convolve.convolve(a, b, method="fft"))
+        or_dft = np.asarray(convolve.convolve(a, b, method="dft"))
+        assert (or_fft == or_dft).all()
