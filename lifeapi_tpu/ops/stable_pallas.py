@@ -396,6 +396,35 @@ def propagate_fused_inkernel(bst: BP.BitStable, max_iters=256,
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "batch_tile",
                                              "interpret"))
+def propagate_fused_beam_planes(planes, max_iters=256, batch_tile=128,
+                                interpret=False):
+    """Kernel-layout variant of :func:`propagate_fused_beam`: takes and
+    returns 20 uint32[64, L] half-planes directly (no packing transposes).
+    Returns ``(new_planes, changed[64, L], consistent[64, L], prio)`` where
+    changed/consistent are lane-constant bitmasks and ``prio`` is the
+    8-tuple of priority half-planes (lo/hi interleaved per level, see
+    _priority_planes).  Used by the beam search, whose frontier lives in
+    kernel layout across rounds."""
+    b = planes[0].shape[1]
+    batch_tile = min(batch_tile, b)
+    assert b % batch_tile == 0
+    grid = (b // batch_tile,)
+    spec = pl.BlockSpec((64, batch_tile), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    out_shapes = tuple(jax.ShapeDtypeStruct((64, b), U32) for _ in range(30))
+    outs = pl.pallas_call(
+        functools.partial(_fixpoint_beam_kernel, max_iters=max_iters),
+        out_shape=out_shapes,
+        grid=grid,
+        in_specs=[spec] * 20,
+        out_specs=(spec,) * 30,
+        interpret=interpret,
+    )(*planes)
+    return outs[:20], outs[20], outs[21], outs[22:]
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "batch_tile",
+                                             "interpret"))
 def propagate_fused_beam(bst: BP.BitStable, max_iters=256, batch_tile=128,
                          interpret=False):
     """Propagate fixpoint AND branch-priority masks in ONE pallas call.

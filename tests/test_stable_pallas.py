@@ -175,6 +175,30 @@ def test_beam_fused_matches_jnp_beam():
     assert (got.best == ref.best).all()
 
 
+def test_beam_fused_padding_path():
+    """B*F >= 128 with B not a multiple of the pad step exercises the
+    lane-padding branch of the kernel-layout beam runner; results must
+    still match the packed jnp runner problem-for-problem."""
+    from lifeapi_tpu.stable import complete as C
+
+    eater = board.move(rle.parse("2b2o$bobo$bo$2o!"), 20, 20)
+    hide = board.from_cells([(20, 20), (21, 20)])
+    unknown = (board.zoi(eater) & ~eater) | hide
+    B = 33  # pad step for F=4 is 32 -> padded to 64
+    st = P.make(
+        state=jnp.broadcast_to(board.to_dense(eater & ~hide), (B, N, N)),
+        unknown=jnp.broadcast_to(board.to_dense(unknown), (B, N, N)),
+    )
+    ref = C.complete_stable_beam(st, frontier=4, iters=6, minimise=True,
+                                 fused=False)
+    got = C.complete_stable_beam(st, frontier=4, iters=6, minimise=True,
+                                 fused=True, interpret=_interp())
+    assert (got.found == ref.found).all()
+    assert (got.best_pop == ref.best_pop).all()
+    assert (got.best == ref.best).all()
+    assert (got.proved_inconsistent == ref.proved_inconsistent).all()
+
+
 def test_fused_beam_levels_match_jnp(rng):
     """propagate_fused_beam's priority masks must equal
     bitplane.branch_levels of the jnp-propagated planes (consistent
