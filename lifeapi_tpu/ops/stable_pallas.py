@@ -120,25 +120,33 @@ def _step_planes(planes):
         abort[k] = ab
         changed[k] = ch
 
-    # 2. counts on the synced planes (cross-half)
+    # 2. counts on the synced planes (cross-half).  Signal's counts are
+    # derivable from update's (state and unknown are disjoint, so
+    # count9(state|unknown) == on9 + unk9), so only TWO 9-counts are
+    # needed per step instead of the reference's three
+    # (LifeStable.hpp:558-675).
     s_lo, s_hi = synced[0]["state"], synced[1]["state"]
     u_lo, u_hi = synced[0]["unknown"], synced[1]["unknown"]
     on9 = _count9(s_lo, s_hi)
     unk9 = _count9(u_lo, u_hi)
-    m9 = _count9(s_lo | u_lo, s_hi | u_hi)
 
-    # 3. update + 4. signal (elementwise per half)
+    # 3. update + 4. signal (elementwise per half, shared interval)
+    from ..stable import nibble as nb
+
     sig = []
     for k in range(2):
         ph = synced[k]
-        rl2, ab_u, ch_u = BP.update_circuit(
-            ph["state"], ph["unknown"], ph["ruled"], on9[k], unk9[k]
+        A = nb.sub_bit(on9[k], ph["state"])
+        Un = nb.sub_bit(unk9[k], ph["unknown"])
+        AU = nb.add(A, Un)
+        rl2, ab_u, ch_u = BP.update_circuit_interval(
+            ph["state"], ph["unknown"], ph["ruled"], A, AU
         )
         ph["ruled"] = rl2
         abort[k] = abort[k] | ab_u
         changed[k] = changed[k] | ch_u
         sig.append(
-            BP.signal_circuit(ph["state"], ph["unknown"], rl2, on9[k], m9[k])
+            BP.signal_circuit_post(ph["state"], ph["unknown"], rl2, A, Un, AU)
         )
 
     # 5. broadcast signals (cross-half ZOI) and apply

@@ -198,13 +198,17 @@ def update_circuit(state, unknown, ruled, on9, unk9):
     """Pure elementwise part of UpdateOptions: returns (new_ruled tuple,
     abort_cells plane, changes plane).  Counts are injected so this runs
     identically on packed boards and on kernel-layout half-planes."""
-    center_on = state
-    center_unk = unknown
-    known_off = ~state & ~unknown
-
-    A = nb.sub_bit(on9, center_on)
-    Un = nb.sub_bit(unk9, center_unk)
+    A = nb.sub_bit(on9, state)
+    Un = nb.sub_bit(unk9, unknown)
     AU = nb.add(A, Un)
+    return update_circuit_interval(state, unknown, ruled, A, AU)
+
+
+def update_circuit_interval(state, unknown, ruled, A, AU):
+    """``update_circuit`` with the exclusive neighbour interval [A, AU]
+    precomputed (shared with signal_circuit_post in fused steps)."""
+    center_on = state
+    known_off = ~state & ~unknown
 
     out = _maximal_ruled_planes(A, AU, center_on, known_off)
     abort_cells = out[0]
@@ -282,6 +286,52 @@ def signal_circuit(state, unknown, ruled, s9, m9):
     cen_guards = center_unk & o2_ok
     center_on_f = cen_guards & maybe_live2 & ~maybe_dead2
     center_off_f = cen_guards & maybe_dead2 & ~maybe_live2
+    return signal_on, signal_off, center_on_f, center_off_f
+
+
+def signal_circuit_post(state, unknown, ruled, A, U, AU):
+    """``signal_circuit`` specialised to POST-UPDATE ruled planes.
+
+    After ``update_circuit`` ran on the same counts, ``ruled`` already
+    contains the maximal-options pruning (``o2 == o`` in signal_circuit's
+    terms) on every non-aborting cell, so recomputing
+    ``_maximal_ruled_planes`` is redundant, and the exclusive interval
+    [A, AU] can be shared with the update.  Equal to ``signal_circuit`` on
+    all cells of consistent boards (aborting cells differ only on boards
+    the propagate contract leaves unspecified); exercised by the fused
+    step equivalence tests (tests/test_stable_pallas.py).  Saves one
+    9-count, one maximal-planes evaluation and one min/max scan per step
+    vs the reference structure (LifeStable.hpp:617-675)."""
+    center_on = state
+    center_unk = unknown
+    known_off = ~state & ~unknown
+
+    possible = [~r for r in ruled]
+    o_impossible = ruled[0]
+    for p in ruled[1:]:
+        o_impossible = o_impossible & p
+    o_ok = ~o_impossible
+
+    mo = _min_possible(possible)
+    Mo = _max_possible(possible)
+
+    maybe_live = possible[0] | possible[1]
+    maybe_dead = possible[2]
+    for i in range(3, 8):
+        maybe_dead = maybe_dead | possible[i]
+    conflict = (center_on & maybe_dead & ~maybe_live) | (
+        known_off & maybe_live & ~maybe_dead
+    )
+
+    u_nonzero = ~nb.eq_const(U, 0)
+    guards = u_nonzero & o_ok & ~conflict
+
+    signal_off = guards & nb.eq(Mo, A)
+    signal_on = guards & nb.eq(mo, AU) & ~signal_off
+
+    cen_guards = center_unk & o_ok
+    center_on_f = cen_guards & maybe_live & ~maybe_dead
+    center_off_f = cen_guards & maybe_dead & ~maybe_live
     return signal_on, signal_off, center_on_f, center_off_f
 
 
