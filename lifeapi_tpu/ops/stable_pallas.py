@@ -203,10 +203,12 @@ def _step_kernel(*refs):
     outs[21][:] = abort
 
 
-def _run_fixpoint(planes, max_iters):
+def _run_fixpoint(planes, max_iters, alive0=None):
     """In-VMEM propagate fixpoint: loop the step until no active board in
     the tile changes.  Returns (planes, aborted, changed_ever) with
-    aborted/changed as per-lane uint32 bitmasks (lane-constant)."""
+    aborted/changed as per-lane uint32 bitmasks (lane-constant).
+    ``alive0`` optionally restricts which lanes participate (uint32 lane
+    mask, e.g. the beam's active frontier slots)."""
     ones = ~jnp.zeros_like(planes[0])
     zeros = jnp.zeros_like(planes[0])
 
@@ -236,9 +238,9 @@ def _run_fixpoint(planes, max_iters):
         alive = alive & ~abort_l & changed_l
         return planes, alive, aborted, changed_ever, it + 1
 
-    alive0 = jnp.where(jnp.zeros_like(planes[0]) == 0, ones, zeros)
+    alive_init = ones if alive0 is None else alive0
     planes, _, aborted, changed_ever, _ = jax.lax.while_loop(
-        cond, body, (planes, alive0, zeros, zeros, jnp.int32(0))
+        cond, body, (planes, alive_init, zeros, zeros, jnp.int32(0))
     )
     return planes, aborted, changed_ever
 
@@ -508,3 +510,257 @@ def propagate_fused(bst: BP.BitStable, max_iters=256, batch_tile=128,
     )
     out = _from_kernel_planes(planes)
     return BP.BitPropagateResult(out, consistent, changed_ever)
+
+
+# ---------------------------------------------------------------------------
+# Whole-beam-search kernel
+# ---------------------------------------------------------------------------
+#
+# The reference explores one DFS path at a time (CompleteStableStep,
+# LifeStable.hpp:1340-1412).  The TPU engine keeps, per problem, a frontier
+# of F candidate partial boards in F adjacent VPU lanes and advances ALL of
+# them per round.  This kernel runs the ENTIRE search — propagate fixpoint,
+# leaf harvest, branch-cell choice, OFF/ON child construction and
+# keep-best-F selection — inside one pallas_call, so the 10-plane frontier
+# never leaves VMEM between rounds.  Cross-slot steps (harvest argmin,
+# candidate ranking, child gather) are lane-group rotates: O(F log F)
+# register ops instead of the XLA-level argsort + one-hot gather chains
+# that previously dominated each round.
+#
+# Decision-for-decision equivalent to the packed jnp runner in
+# stable/complete.py (same branch cells, same tie-breaking, same drop
+# accounting) — asserted by tests/test_stable_pallas.py.
+
+_INT32_MAX = jnp.iinfo(jnp.int32).max
+_LEAF_SENTINEL = 1 << 20  # > max leaf key (4096*16 + 15)
+
+
+def _grot(x, k, F):
+    """Rotate lanes left by ``k`` within groups of ``F`` lanes (F a power
+    of two dividing the lane count): out[.., g*F + j] = x[.., g*F + (j+k)%F].
+    Two full-width lane rolls + a lane-position select; never reads across
+    a group boundary."""
+    k = k % F
+    if k == 0:
+        return x
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1) % F
+    return jnp.where(lane < F - k, jnp.roll(x, -k, axis=-1),
+                     jnp.roll(x, F - k, axis=-1))
+
+
+def _greduce(x, F, op):
+    """Reduce over each lane group of F (power of two); every lane of a
+    group ends up holding the group reduction (log2 F rotate-combines)."""
+    k = 1
+    while k < F:
+        x = op(x, _grot(x, k, F))
+        k *= 2
+    return x
+
+
+def _beam_kernel(*refs, F, iters, minimise, max_fix_iters):
+    act_ref = refs[0]
+    in_planes = refs[1:21]
+    (best_lo_ref, best_hi_ref, best_pop_ref, found_ref, complete_ref,
+     active_any_ref) = refs[21:]
+
+    planes0 = tuple(r[:] for r in in_planes)
+    T = planes0[0].shape[1]
+    FULL = U32(0xFFFFFFFF)
+
+    active0 = act_ref[:][0:1, :] != 0  # bool (1, T)
+    lane_slot = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1) % F
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (64, T), 0)
+
+    def rowmask(b):
+        return jnp.where(b, FULL, U32(0))
+
+    def cond(c):
+        return jnp.any(c[1]) & (c[7] < iters)
+
+    def body(c):
+        planes, active, best_lo, best_hi, best_pop, found, complete, it = c
+
+        alive0 = jnp.broadcast_to(rowmask(active), planes[0].shape)
+        planes, aborted, _ = _run_fixpoint(planes, max_fix_iters,
+                                           alive0=alive0)
+        ok = active & ~jnp.any(aborted != 0, axis=0, keepdims=True)
+
+        s_lo, s_hi = planes[0], planes[1]
+        pop = (jnp.sum(jax.lax.population_count(s_lo).astype(jnp.int32),
+                       axis=0, keepdims=True)
+               + jnp.sum(jax.lax.population_count(s_hi).astype(jnp.int32),
+                         axis=0, keepdims=True))
+        if minimise:
+            # population bound (reference LifeStable.hpp:1351-1355)
+            ok = ok & (pop < best_pop)
+        else:
+            ok = ok & ~found
+
+        prio = _priority_planes(planes)
+        set_lo, set_hi = prio[6], prio[7]
+        is_leaf = ok & jnp.all((set_lo | set_hi) == 0, axis=0, keepdims=True)
+
+        # -- harvest: best leaf of this round per problem (key packs the
+        # slot index for the same lowest-slot tie-break as argmin)
+        leaf_key = jnp.where(is_leaf, pop * 16 + lane_slot,
+                             jnp.int32(_LEAF_SENTINEL))
+        gmin = _greduce(leaf_key, F, jnp.minimum)
+        has_leaf = gmin < _LEAF_SENTINEL
+        round_pop = jnp.where(has_leaf, gmin >> 4, _INT32_MAX)
+        better = round_pop < best_pop
+        winner = rowmask(is_leaf & (leaf_key == gmin))
+        win_lo = _greduce(s_lo & winner, F, jnp.bitwise_or)
+        win_hi = _greduce(s_hi & winner, F, jnp.bitwise_or)
+        bm = rowmask(better)
+        best_lo = (win_lo & bm) | (best_lo & ~bm)
+        best_hi = (win_hi & bm) | (best_hi & ~bm)
+        best_pop = jnp.where(better, round_pop, best_pop)
+        found = found | better
+        ok = ok & ~is_leaf
+
+        # -- branch cell: first cell of the highest nonempty priority
+        # level (reference branch order, LifeStable.hpp:1377-1391)
+        ch_lo, ch_hi = set_lo, set_hi
+        for k in (2, 1, 0):
+            hm = rowmask(jnp.any((prio[2 * k] | prio[2 * k + 1]) != 0,
+                                 axis=0, keepdims=True))
+            ch_lo = (prio[2 * k] & hm) | (ch_lo & ~hm)
+            ch_hi = (prio[2 * k + 1] & hm) | (ch_hi & ~hm)
+        nz = (ch_lo | ch_hi) != 0
+        col = jnp.min(jnp.where(nz, col_iota, 64), axis=0, keepdims=True)
+        onehot_col = col_iota == col
+        lo_w = jnp.max(jnp.where(onehot_col, ch_lo, U32(0)), axis=0,
+                       keepdims=True)
+        hi_w = jnp.max(jnp.where(onehot_col, ch_hi, U32(0)), axis=0,
+                       keepdims=True)
+        use_lo = lo_w != U32(0)
+        bit_lo = lo_w & (~lo_w + U32(1))
+        bit_hi = hi_w & (~hi_w + U32(1))
+        okm = rowmask(ok)
+        cell_lo = jnp.where(onehot_col & use_lo, bit_lo, U32(0)) & okm
+        cell_hi = jnp.where(onehot_col & ~use_lo, bit_hi, U32(0)) & okm
+
+        # -- rank the 2F children per problem: key orders by population,
+        # then OFF-before-ON, then slot — the exact stable-argsort order
+        # of the packed jnp runner
+        BIG = jnp.int32(_LEAF_SENTINEL)
+        score_off = jnp.where(ok, pop, BIG)
+        score_on = jnp.where(ok, pop + 1, BIG)
+        key_off = score_off * (2 * F) + lane_slot
+        key_on = score_on * (2 * F) + F + lane_slot
+        rank_off = jnp.zeros_like(key_off)
+        rank_on = jnp.zeros_like(key_on)
+        for k in range(F):
+            ro = _grot(key_off, k, F)
+            rn = _grot(key_on, k, F)
+            rank_off = (rank_off + (ro < key_off).astype(jnp.int32)
+                        + (rn < key_off).astype(jnp.int32))
+            rank_on = (rank_on + (ro < key_on).astype(jnp.int32)
+                       + (rn < key_on).astype(jnp.int32))
+
+        # an active candidate ranked beyond capacity is dropped: the
+        # search is no longer exhaustive (soundness of proved_inconsistent)
+        dropped_row = ok & ((rank_off >= F) | (rank_on >= F))
+        dropped = _greduce(rowmask(dropped_row), F, jnp.bitwise_or) != 0
+        complete = complete & ~dropped
+
+        # -- gather: destination slot j takes the candidate ranked j
+        # (ranks are a permutation of 0..2F-1, so exactly one per slot)
+        ok_m = rowmask(ok)
+        g = [jnp.zeros_like(p) for p in planes]
+        g_cl = jnp.zeros_like(cell_lo)
+        g_ch = jnp.zeros_like(cell_hi)
+        ison = jnp.zeros((1, T), U32)
+        nact = jnp.zeros((1, T), U32)
+        for k in range(F):
+            sel_off = _grot(rank_off, k, F) == lane_slot
+            sel_on = _grot(rank_on, k, F) == lane_slot
+            sm = rowmask(sel_off | sel_on)
+            for i in range(len(g)):
+                g[i] = g[i] | (_grot(planes[i], k, F) & sm)
+            g_cl = g_cl | (_grot(cell_lo, k, F) & sm)
+            g_ch = g_ch | (_grot(cell_hi, k, F) & sm)
+            ison = ison | rowmask(sel_on)
+            nact = nact | (_grot(ok_m, k, F) & sm)
+        new_active = nact != 0
+
+        new_planes = []
+        for i in range(N_PLANES):
+            for h in range(2):
+                gp = g[2 * i + h]
+                gc = g_cl if h == 0 else g_ch
+                if i == 0:  # state
+                    gp = (ison & (gp | gc)) | (~ison & (gp & ~gc))
+                elif i == 1:  # unknown
+                    gp = gp & ~gc
+                elif i in (2, 3):  # ruled live2/live3: OFF rules out
+                    gp = (ison & gp) | (~ison & (gp | gc))
+                else:  # ruled dead*: ON rules out
+                    gp = (ison & (gp | gc)) | (~ison & gp)
+                new_planes.append(gp)
+
+        return (tuple(new_planes), new_active, best_lo, best_hi, best_pop,
+                found, complete, it + 1)
+
+    best_lo0 = jnp.zeros((64, T), U32)
+    best_hi0 = jnp.zeros((64, T), U32)
+    best_pop0 = jnp.full((1, T), _INT32_MAX, jnp.int32)
+    found0 = jnp.zeros((1, T), bool)
+    complete0 = jnp.ones((1, T), bool)
+    out = jax.lax.while_loop(
+        cond, body,
+        (planes0, active0, best_lo0, best_hi0, best_pop0, found0,
+         complete0, jnp.int32(0)),
+    )
+    _, activeF, best_lo, best_hi, best_pop, found, complete, _ = out
+
+    best_lo_ref[:] = best_lo
+    best_hi_ref[:] = best_hi
+    best_pop_ref[:] = jnp.broadcast_to(best_pop, (8, T))
+    found_ref[:] = jnp.broadcast_to(rowmask(found), (8, T))
+    complete_ref[:] = jnp.broadcast_to(rowmask(complete), (8, T))
+    active_any_ref[:] = jnp.broadcast_to(
+        _greduce(rowmask(activeF), F, jnp.bitwise_or), (8, T))
+
+
+@functools.partial(jax.jit, static_argnames=("F", "iters", "minimise",
+                                             "batch_tile", "interpret",
+                                             "max_fix_iters"))
+def beam_search_planes(planes, active_row, *, F, iters, minimise,
+                       batch_tile=128, interpret=False, max_fix_iters=256):
+    """Run the ENTIRE beam completion search in one pallas_call.
+
+    ``planes``: 20 uint32[64, L] half-planes (L = B*F lanes, slot index
+    fastest).  ``active_row``: uint32[8, L] lane mask of initially active
+    slots.  Each lane-group of F is one independent problem; each grid
+    tile runs its own round loop until every problem in it exhausts its
+    frontier or ``iters`` rounds pass.  Returns ``(best_lo, best_hi,
+    best_pop, found, complete, active_any)`` — best planes are
+    lane-replicated per group; rows are [8, L] (read any sublane)."""
+    L = planes[0].shape[1]
+    batch_tile = min(batch_tile, L)
+    assert F & (F - 1) == 0 and 2 <= F <= 16, "F must be a power of two <= 16"
+    assert L % batch_tile == 0 and batch_tile % F == 0
+    grid = (L // batch_tile,)
+    pspec = pl.BlockSpec((64, batch_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    rspec = pl.BlockSpec((8, batch_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    out_shapes = (
+        jax.ShapeDtypeStruct((64, L), U32),
+        jax.ShapeDtypeStruct((64, L), U32),
+        jax.ShapeDtypeStruct((8, L), jnp.int32),
+        jax.ShapeDtypeStruct((8, L), U32),
+        jax.ShapeDtypeStruct((8, L), U32),
+        jax.ShapeDtypeStruct((8, L), U32),
+    )
+    return pl.pallas_call(
+        functools.partial(_beam_kernel, F=F, iters=iters, minimise=minimise,
+                          max_fix_iters=max_fix_iters),
+        out_shape=out_shapes,
+        grid=grid,
+        in_specs=[rspec] + [pspec] * 20,
+        out_specs=(pspec, pspec, rspec, rspec, rspec, rspec),
+        interpret=interpret,
+    )(active_row, *planes)

@@ -22,7 +22,7 @@ from typing import NamedTuple
 import numpy as np
 
 from . import options as opt
-from .host import HostStable, count9, zoi
+from .host import HostStable, big_zoi, count9, zoi
 
 
 class CompletionResult(enum.Enum):
@@ -142,9 +142,10 @@ def complete_stable(st: HostStable, timeout=1.0, minimise=False, use_seed=False,
         return CompletionResult.INCONSISTENT, empty
 
     if minimise:
-        big = zoi(zoi(zoi(search_area)))
+        # re-minimise in a little more space (reference uses the BigZOI
+        # dilation of the search area, LifeStable.hpp:1451-1456)
         copy = st.copy()
-        copy.unknown &= big
+        copy.unknown &= big_zoi(search_area)
         search.use_seed = True
         search.seed = st.state | (search.best if search.best is not None else empty)
         search.step(copy)
@@ -171,54 +172,16 @@ class BeamResult(NamedTuple):
     proved_inconsistent: "np.ndarray" = None  # bool[B]
 
 
-def _propagate_frontier(cur, fused, interpret):
+def _propagate_frontier(cur):
     """Propagate a [B, F] frontier of BitStables and compute the
-    branch-priority level masks of the result.  The fused path runs BOTH
-    in one Pallas call (ops/stable_pallas.propagate_fused_beam) on a flat
-    [B*F] batch in kernel layout; the jnp path composes
-    bitplane.propagate + bitplane.branch_levels.  Returns
+    branch-priority level masks of the result (jnp bit-plane path; the
+    fused TPU engine runs the whole search in one kernel instead, see
+    ops/stable_pallas.beam_search_planes).  Returns
     (BitPropagateResult, levels 4-tuple of packed masks)."""
     from . import bitplane as BP
 
-    if not fused:
-        res = BP.propagate(cur)
-        return res, BP.branch_levels(res.stable)
-
-    import jax.numpy as jnp
-
-    from ..ops import stable_pallas as SP
-
-    B, F = cur.state.shape[:2]
-    flat = B * F
-    tile = 128 if flat >= 128 else flat
-    pad = (-flat) % tile
-
-    def flatten(x):
-        x = x.reshape((flat,) + x.shape[2:])
-        if pad:
-            x = jnp.concatenate(
-                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
-            )
-        return x
-
-    fbst = BP.BitStable(
-        flatten(cur.state), flatten(cur.unknown),
-        tuple(flatten(r) for r in cur.ruled),
-    )
-    res, flat_levels = SP.propagate_fused_beam(fbst, batch_tile=tile,
-                                               interpret=interpret)
-
-    def unflatten(x):
-        return x[:flat].reshape((B, F) + x.shape[1:])
-
-    st = BP.BitStable(
-        unflatten(res.stable.state), unflatten(res.stable.unknown),
-        tuple(unflatten(r) for r in res.stable.ruled),
-    )
-    return BP.BitPropagateResult(
-        st, res.consistent[:flat].reshape(B, F),
-        res.changed[:flat].reshape(B, F),
-    ), tuple(unflatten(l) for l in flat_levels)
+    res = BP.propagate(cur)
+    return res, BP.branch_levels(res.stable)
 
 
 def _first_cell_mask(packed):
@@ -237,7 +200,7 @@ def _first_cell_mask(packed):
     return cellw.reshape(lead + (64, 2))
 
 
-def _beam_body(carry, minimise, fused, interpret):
+def _beam_body(carry, minimise):
     """One beam round: propagate every frontier candidate, harvest leaves,
     branch on the heuristic cell, keep the best F children."""
     import jax.numpy as jnp
@@ -249,7 +212,7 @@ def _beam_body(carry, minimise, fused, interpret):
     B, F = active.shape
     N = 64
 
-    res, levels = _propagate_frontier(cur, fused, interpret)
+    res, levels = _propagate_frontier(cur)
     cur = res.stable
     ok = active & res.consistent
 
@@ -321,190 +284,15 @@ def _beam_body(carry, minimise, fused, interpret):
     return (cur, active, best, best_pop, found, complete)
 
 
-N_PLANES = 10  # state, unknown, 8 ruled (kernel layout: lo/hi per plane)
-
-
-def _make_beam_runner_planes():
-    """Kernel-layout beam runner (the fused/TPU path).
-
-    Decision-for-decision equivalent to the packed jnp runner below, but
-    the frontier's 10-plane state stays in kernel layout (20 uint32[64, L]
-    half-planes, L = B*F lanes) for the whole search:
-
-    * no per-round packing transposes (the jnp path moves all 20 planes
-      HBM->HBM twice per round just to change layout);
-    * children are built by a one-hot select over the F-slot frontier axis
-      (pure elementwise, fused by XLA) instead of materializing 2F child
-      boards and gathering F of them — the old path's dominant cost;
-    * population / leaf / first-cell math runs directly on the half-planes.
-    """
-    import functools
-
-    import jax
-
-    @functools.partial(
-        jax.jit,
-        static_argnames=("B", "F", "iters", "minimise", "interpret", "tile"),
-    )
-    def run(planes0, active0, *, B, F, iters, minimise, interpret, tile):
-        import jax.numpy as jnp
-
-        from ..ops import stable_pallas as SP
-
-        INTMAX = jnp.iinfo(jnp.int32).max
-
-        def sel_slot(x_bf, which):
-            """x_bf[B, F] selected at slot ``which``[B] by one-hot chain."""
-            out = x_bf[:, 0]
-            for f in range(1, F):
-                out = jnp.where(which == f, x_bf[:, f], out)
-            return out
-
-        def cond(carry):
-            active, it = carry[1], carry[-1]
-            return jnp.any(active) & (it < iters)
-
-        def body(carry):
-            planes, active, best_lo, best_hi, best_pop, found, complete, it = carry
-
-            planes, _, cons_mask, prio = SP.propagate_fused_beam_planes(
-                planes, batch_tile=tile, interpret=interpret
-            )
-            consistent = jnp.all(cons_mask != 0, axis=0).reshape(B, F)
-            ok = active & consistent
-
-            s_lo, s_hi = planes[0], planes[1]
-            pop = (
-                jnp.sum(jax.lax.population_count(s_lo).astype(jnp.int32), axis=0)
-                + jnp.sum(jax.lax.population_count(s_hi).astype(jnp.int32), axis=0)
-            ).reshape(B, F)
-            if minimise:
-                # population bound (reference LifeStable.hpp:1351-1355)
-                ok = ok & ~(pop >= best_pop[:, None])
-            else:
-                ok = ok & ~found[:, None]
-
-            # leaves: settable (priority level 3) empty
-            set_lo, set_hi = prio[6], prio[7]
-            is_leaf = ok & jnp.all((set_lo | set_hi) == 0, axis=0).reshape(B, F)
-
-            # harvest the best leaf of this round per problem
-            leaf_pop = jnp.where(is_leaf, pop, INTMAX)
-            which = jnp.argmin(leaf_pop, axis=1)
-            round_pop = sel_slot(leaf_pop, which)
-            sl_r = s_lo.reshape(64, B, F)
-            sh_r = s_hi.reshape(64, B, F)
-            round_lo, round_hi = sl_r[:, :, 0], sh_r[:, :, 0]
-            for f in range(1, F):
-                m = (which == f)[None, :]
-                round_lo = jnp.where(m, sl_r[:, :, f], round_lo)
-                round_hi = jnp.where(m, sh_r[:, :, f], round_hi)
-            better = round_pop < best_pop
-            best_lo = jnp.where(better[None, :], round_lo, best_lo)
-            best_hi = jnp.where(better[None, :], round_hi, best_hi)
-            best_pop = jnp.where(better, round_pop, best_pop)
-            found = found | better
-            ok = ok & ~is_leaf
-
-            # branch cell: first cell of the highest nonempty priority level
-            ch_lo, ch_hi = set_lo, set_hi
-            for k in (2, 1, 0):
-                has = jnp.any((prio[2 * k] | prio[2 * k + 1]) != 0, axis=0)
-                ch_lo = jnp.where(has[None, :], prio[2 * k], ch_lo)
-                ch_hi = jnp.where(has[None, :], prio[2 * k + 1], ch_hi)
-            # lexicographic first set cell (lowest column, then lowest row):
-            # first column with any bit, low half-word first within it
-            nz = (ch_lo | ch_hi) != 0
-            col = jnp.argmax(nz, axis=0)
-            onehot_col = jnp.arange(64)[:, None] == col[None, :]
-            lo_w = jnp.max(jnp.where(onehot_col, ch_lo, jnp.uint32(0)), axis=0)
-            hi_w = jnp.max(jnp.where(onehot_col, ch_hi, jnp.uint32(0)), axis=0)
-            use_lo = lo_w != 0
-            bit_lo = lo_w & (~lo_w + jnp.uint32(1))
-            bit_hi = hi_w & (~hi_w + jnp.uint32(1))
-            okm = ok.reshape(1, B * F)
-            cell_lo = jnp.where(onehot_col & use_lo[None, :] & okm,
-                                bit_lo[None, :], jnp.uint32(0))
-            cell_hi = jnp.where(onehot_col & ~use_lo[None, :] & okm,
-                                bit_hi[None, :], jnp.uint32(0))
-
-            # 2F candidates (OFF children first, then ON) -> keep the F
-            # best by (active, pop); stable argsort = same tie-breaking as
-            # the packed runner
-            cand_pop = jnp.concatenate([pop, pop + 1], axis=1)
-            cand_active = jnp.concatenate([ok, ok], axis=1)
-            score = jnp.where(cand_active, cand_pop, INTMAX)
-            full_order = jnp.argsort(score, axis=1)
-            order = full_order[:, :F]
-            src = order % F  # parent slot of each kept child
-            is_on = order >= F
-
-            new_active = jnp.broadcast_to(ok[:, 0:1], (B, F))
-            for f in range(1, F):
-                new_active = jnp.where(src == f, ok[:, f : f + 1], new_active)
-            rest_src = full_order[:, F:] % F
-            dropped = jnp.zeros((B, F), bool)
-            for f in range(F):
-                dropped = dropped | ((rest_src == f) & ok[:, f : f + 1])
-            complete = complete & ~jnp.any(dropped, axis=1)
-
-            # gather parent planes + cell masks by one-hot select over F,
-            # then apply the OFF/ON child update elementwise
-            onm = is_on[None, :, :]
-            srcm = src[None, :, :]
-
-            def pick(x):
-                xr = x.reshape(64, B, F)
-                out = jnp.broadcast_to(xr[:, :, 0:1], (64, B, F))
-                for f in range(1, F):
-                    out = jnp.where(srcm == f, xr[:, :, f : f + 1], out)
-                return out
-
-            g_cl = pick(cell_lo)
-            g_ch = pick(cell_hi)
-            new_planes = []
-            for i in range(N_PLANES):
-                for h, g_cell in ((0, g_cl), (1, g_ch)):
-                    g = pick(planes[2 * i + h])
-                    if i == 0:  # state
-                        g = jnp.where(onm, g | g_cell, g & ~g_cell)
-                    elif i == 1:  # unknown
-                        g = g & ~g_cell
-                    elif i in (2, 3):  # ruled live2/live3: OFF rules out
-                        g = jnp.where(onm, g, g | g_cell)
-                    else:  # ruled dead*: ON rules out
-                        g = jnp.where(onm, g | g_cell, g)
-                    new_planes.append(g.reshape(64, B * F))
-
-            return (tuple(new_planes), new_active, best_lo, best_hi,
-                    best_pop, found, complete, it + 1)
-
-        best_lo0 = jnp.zeros((64, B), jnp.uint32)
-        best_hi0 = jnp.zeros((64, B), jnp.uint32)
-        best_pop0 = jnp.full((B,), INTMAX, jnp.int32)
-        found0 = jnp.zeros((B,), bool)
-        complete0 = jnp.ones((B,), bool)
-        out = jax.lax.while_loop(
-            cond,
-            body,
-            (planes0, active0, best_lo0, best_hi0, best_pop0, found0,
-             complete0, jnp.int32(0)),
-        )
-        return out[1:-1]  # active, best_lo, best_hi, best_pop, found, complete
-
-    return run
-
-
 def _make_beam_runner():
     import functools
 
     import jax
 
     @functools.partial(
-        jax.jit, static_argnames=("iters", "minimise", "fused", "interpret")
+        jax.jit, static_argnames=("iters", "minimise")
     )
-    def run(cur0, active0, best0, best_pop0, found0, iters, minimise,
-            fused, interpret):
+    def run(cur0, active0, best0, best_pop0, found0, iters, minimise):
         import jax.numpy as jnp
 
         complete0 = jnp.ones(found0.shape, bool)
@@ -521,7 +309,7 @@ def _make_beam_runner():
 
         def loop_body(carry):
             *state, it = carry
-            out = _beam_body(tuple(state), minimise, fused, interpret)
+            out = _beam_body(tuple(state), minimise)
             return out + (it + 1,)
 
         return jax.lax.while_loop(cond, loop_body, carry)[:-1]
@@ -530,7 +318,6 @@ def _make_beam_runner():
 
 
 _BEAM_RUN = None
-_BEAM_RUN_PLANES = None
 
 
 def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
@@ -556,8 +343,6 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
     ``best`` as a packed uint32[B, 64, 2] board instead of dense bools —
     an 8x smaller readback, which matters through a tunneled backend.
     """
-    import math
-
     import jax
     import jax.numpy as jnp
 
@@ -576,15 +361,15 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
     B = bst0.state.shape[0]
 
     if fused:
-        # kernel-layout runner: the frontier never leaves kernel layout
-        global _BEAM_RUN_PLANES
-        if _BEAM_RUN_PLANES is None:
-            _BEAM_RUN_PLANES = _make_beam_runner_planes()
+        # one pallas_call runs the ENTIRE search: the 10-plane frontier
+        # stays in VMEM across rounds, and the harvest / branch / top-F
+        # selection are in-kernel lane-group rotates
+        # (ops/stable_pallas.beam_search_planes)
         from ..ops import stable_pallas as SP
 
         flat = B * F
         if flat >= 128:
-            step = max(1, 128 // math.gcd(F, 128))
+            step = 128 // F  # F is a power of two <= 16, so F | 128
             b_pad = -(-B // step) * step
             lane_tile = 128
         else:
@@ -594,21 +379,33 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
             planes = tuple(
                 jnp.pad(p, ((0, 0), (0, b_pad - B))) for p in planes
             )
+        L = b_pad * F
         planes0 = tuple(jnp.repeat(p, F, axis=1) for p in planes)
-        active0 = jnp.zeros((b_pad, F), bool).at[:B, 0].set(True)
-        active, best_lo, best_hi, best_pop, found, complete = _BEAM_RUN_PLANES(
-            planes0, active0, B=b_pad, F=F, iters=iters, minimise=minimise,
-            interpret=interpret, tile=lane_tile,
+        lane = jnp.arange(L)
+        act = (lane % F == 0) & (lane < B * F)
+        active_row = jnp.broadcast_to(
+            jnp.where(act, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))[None, :],
+            (8, L),
+        )
+        best_lo, best_hi, best_pop_r, found_r, complete_r, active_any = (
+            SP.beam_search_planes(
+                planes0, active_row, F=F, iters=iters, minimise=minimise,
+                batch_tile=lane_tile, interpret=interpret,
+            )
         )
         best = jnp.stack(
-            [jnp.transpose(best_lo), jnp.transpose(best_hi)], axis=-1
+            [jnp.transpose(best_lo[:, ::F]), jnp.transpose(best_hi[:, ::F])],
+            axis=-1,
         )[:B]
         best_out = BRD.to_dense(best) if dense else best
-        exhausted = ~jnp.any(active[:B], axis=1)
-        proved = exhausted & complete[:B] & ~found[:B]
+        found = found_r[0, ::F][:B] != 0
+        complete = complete_r[0, ::F][:B] != 0
+        exhausted = active_any[0, ::F][:B] == 0
+        best_pop = best_pop_r[0, ::F][:B]
+        proved = exhausted & complete & ~found
         return BeamResult(
-            np.asarray(found[:B]), np.asarray(best_out),
-            np.asarray(best_pop[:B]), np.asarray(proved),
+            np.asarray(found), np.asarray(best_out),
+            np.asarray(best_pop), np.asarray(proved),
         )
 
     global _BEAM_RUN
@@ -626,8 +423,7 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
     best_pop0 = jnp.full((B,), jnp.iinfo(jnp.int32).max, jnp.int32)
     found0 = jnp.zeros((B,), bool)
 
-    out = _BEAM_RUN(cur0, active0, best0, best_pop0, found0, iters, minimise,
-                    fused, interpret)
+    out = _BEAM_RUN(cur0, active0, best0, best_pop0, found0, iters, minimise)
     _, active, best, best_pop, found, complete = out
     best_out = BRD.to_dense(best) if dense else best
     exhausted = ~jnp.any(active, axis=1)

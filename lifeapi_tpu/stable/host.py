@@ -25,6 +25,15 @@ def zoi(x):
     return v | np.roll(v, 1, axis=0) | np.roll(v, -1, axis=0)
 
 
+def big_zoi(x):
+    """Reference ``BigZOI`` dilation (LifeAPI.hpp:564-591): plus-dilate,
+    then horizontal 3-dilate, then vertical 3-dilate."""
+    b = (x | np.roll(x, 1, axis=1) | np.roll(x, -1, axis=1)
+         | np.roll(x, 1, axis=0) | np.roll(x, -1, axis=0))
+    c = b | np.roll(b, 1, axis=0) | np.roll(b, -1, axis=0)
+    return c | np.roll(c, 1, axis=1) | np.roll(c, -1, axis=1)
+
+
 def zoi_hollow(x):
     v = x | np.roll(x, 1, axis=1) | np.roll(x, -1, axis=1)
     mid = np.roll(x, 1, axis=1) | np.roll(x, -1, axis=1)

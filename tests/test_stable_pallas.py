@@ -227,3 +227,63 @@ def test_fused_beam_levels_match_jnp(rng):
     assert (ok == np.asarray(expect.consistent)).all()
     for g, e in zip(got_levels, exp_levels):
         assert (np.asarray(g)[ok] == np.asarray(e)[ok]).all()
+
+
+def test_beam_fused_minimise_false_inconsistent():
+    """fused=True with minimise=False (the weld.unweldable_mask mode):
+    found / proved_inconsistent / best must match the jnp runner on a
+    batch mixing a satisfiable instance with an unsatisfiable one."""
+    from lifeapi_tpu.stable import complete as C
+
+    eater = board.move(rle.parse("2b2o$bobo$bo$2o!"), 20, 20)
+    hide = board.from_cells([(20, 20), (21, 20)])
+    unknown = (board.zoi(eater) & ~eater) | hide
+    sat_state = board.to_dense(eater & ~hide)
+    sat_unknown = board.to_dense(unknown)
+    # unsatisfiable: a lone ON cell whose whole neighbourhood is known OFF
+    lone = board.to_dense(board.from_cells([(40, 40)]))
+    none = np.zeros((N, N), bool)
+    st = P.make(
+        state=jnp.asarray(np.stack([sat_state, lone, sat_state])),
+        unknown=jnp.asarray(np.stack([sat_unknown, none, sat_unknown])),
+    )
+    ref = C.complete_stable_beam(st, frontier=8, iters=16, minimise=False,
+                                 fused=False)
+    got = C.complete_stable_beam(st, frontier=8, iters=16, minimise=False,
+                                 fused=True, interpret=_interp())
+    assert (got.found == ref.found).all()
+    assert (got.proved_inconsistent == ref.proved_inconsistent).all()
+    assert got.found[0] and not got.found[1]
+    assert got.proved_inconsistent[1]
+    assert (got.best[got.found] == ref.best[ref.found]).all()
+    assert (got.best_pop[got.found] == ref.best_pop[ref.found]).all()
+
+
+def test_beam_fused_random_instances_match_jnp(rng):
+    """Randomized decision-equivalence sweep of the whole-search kernel vs
+    the packed jnp runner (minimise=True, F=8)."""
+    from lifeapi_tpu.stable import complete as C
+    from lifeapi_tpu.stable import host as H
+
+    B = 6
+    states, unknowns = [], []
+    for i in range(B):
+        truth = np.zeros((N, N), bool)
+        for _ in range(3):
+            x, y = rng.integers(8, 52, 2)
+            truth[x:x + 2, y:y + 2] = True
+        hide = (rng.random((N, N)) < 0.35) & H.zoi(truth)
+        states.append(truth & ~hide)
+        unknowns.append(hide | (H.zoi(truth) & ~truth))
+    st = P.make(
+        state=jnp.asarray(np.stack(states)),
+        unknown=jnp.asarray(np.stack(unknowns)),
+    )
+    ref = C.complete_stable_beam(st, frontier=8, iters=12, minimise=True,
+                                 fused=False)
+    got = C.complete_stable_beam(st, frontier=8, iters=12, minimise=True,
+                                 fused=True, interpret=_interp())
+    assert (got.found == ref.found).all()
+    assert (got.best_pop == ref.best_pop).all()
+    assert (got.best == ref.best).all()
+    assert (got.proved_inconsistent == ref.proved_inconsistent).all()
