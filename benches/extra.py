@@ -182,10 +182,22 @@ def bench_mpc(n_candidates=64, horizon=32, iters=100):
     }), flush=True)
 
 
+_BENCHES = {
+    "propagate": bench_propagate,
+    "propagate_fused": lambda: bench_propagate(fused=True),
+    "beam": bench_beam_complete,
+    "convolve": bench_convolve,
+    "mpc": bench_mpc,
+}
+
+
 if __name__ == "__main__":
-    bench_propagate()
-    if jax.default_backend() == "tpu":
-        bench_propagate(fused=True)
-    bench_beam_complete()
-    bench_convolve()
-    bench_mpc()
+    names = sys.argv[1:]
+    if not names:
+        names = ["propagate"]
+        if jax.default_backend() == "tpu":
+            names.append("propagate_fused")
+        names += ["beam", "convolve", "mpc"]
+    for name in names:
+        print(f"# {name}", flush=True)
+        _BENCHES[name]()

@@ -254,16 +254,70 @@ def flip_y(board):
     return jnp.flip(board, axis=-2)
 
 
+# Block-swap masks for the 64x64 bit transpose (Hacker's-Delight network,
+# reference LifeAPI.hpp:766-783), adapted to the LSB-first packing (bit y of
+# a column word = cell (x, y)): at level j the exchanged sub-block of the
+# lower column is the bit positions with bit j SET.  The same 32-bit mask
+# applies to both half-words for j < 32; level 32 degenerates to a word swap.
+_TRANSPOSE_MASKS = {
+    16: 0xFFFF0000,
+    8: 0xFF00FF00,
+    4: 0xF0F0F0F0,
+    2: 0xCCCCCCCC,
+    1: 0xAAAAAAAA,
+}
+
+
 def transpose(board, which_diagonal=True):
     """64x64 bit-matrix transpose (reference ``Transpose``,
     LifeAPI.hpp:766-783).  ``which_diagonal=False`` is the plain transpose
     (x, y) -> (y, x) used by ReflectAcrossYeqX; ``True`` is the anti-diagonal
-    variant (x, y) -> (-1-y, -1-x) used by ReflectAcrossYeqNegX."""
-    d = to_dense(board)
-    d = jnp.swapaxes(d, -1, -2)
+    variant (x, y) -> (-1-y, -1-x) used by ReflectAcrossYeqNegX.
+
+    Implemented as the Hacker's-Delight block-swap network directly on the
+    packed uint32 pairs (no dense round-trip): at level j, columns k and
+    k+j exchange the (bit-j-set positions of column k) with the
+    (bit-j-clear positions of column k+j), via 64-bit funnel shifts.
+    Level 32 swaps each column's high word with its partner's low word."""
+    lo, hi = lo_hi(board)  # [..., 64] each; axis -1 indexes the column x
+    lead = lo.shape[:-1]
+
+    def split(a, j):
+        # columns -> (..., 64/(2j), 2, j): index = g*(2j) + b*j + l, so the
+        # middle axis is exactly bit j of the column index
+        return a.reshape(lead + (64 // (2 * j), 2, j))
+
+    def merge(a):
+        return a.reshape(lead + (64,))
+
+    # level 32: t = (a ^ (b << 32)) & high-word mask => swap a_hi <-> b_lo
+    lo_s, hi_s = split(lo, 32), split(hi, 32)
+    a_lo, b_lo = lo_s[..., 0, :], lo_s[..., 1, :]
+    a_hi, b_hi = hi_s[..., 0, :], hi_s[..., 1, :]
+    a_hi, b_lo = b_lo, a_hi
+    lo = merge(jnp.stack([a_lo, b_lo], axis=-2))
+    hi = merge(jnp.stack([a_hi, b_hi], axis=-2))
+
+    for j in (16, 8, 4, 2, 1):
+        m = jnp.uint32(_TRANSPOSE_MASKS[j])
+        lo_s, hi_s = split(lo, j), split(hi, j)
+        a_lo, b_lo = lo_s[..., 0, :], lo_s[..., 1, :]
+        a_hi, b_hi = hi_s[..., 0, :], hi_s[..., 1, :]
+        # t = (a ^ (b << j)) & m
+        t_lo = (a_lo ^ (b_lo << j)) & m
+        t_hi = (a_hi ^ ((b_hi << j) | (b_lo >> (32 - j)))) & m
+        a_lo = a_lo ^ t_lo
+        a_hi = a_hi ^ t_hi
+        # b ^= t >> j
+        b_lo = b_lo ^ ((t_lo >> j) | (t_hi << (32 - j)))
+        b_hi = b_hi ^ (t_hi >> j)
+        lo = merge(jnp.stack([a_lo, b_lo], axis=-2))
+        hi = merge(jnp.stack([a_hi, b_hi], axis=-2))
+
+    out = pack_lo_hi(lo, hi)
     if which_diagonal:
-        d = jnp.flip(d, axis=(-1, -2))
-    return from_dense(d)
+        out = flip_x(flip_y(out))
+    return out
 
 
 def mirrored(board):

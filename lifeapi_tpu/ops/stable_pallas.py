@@ -548,6 +548,15 @@ def _grot(x, k, F):
                      jnp.roll(x, F - k, axis=-1))
 
 
+def _or_rows(x):
+    """Bitwise-OR over the sublane (row) axis, keepdims: uint32[64, T] ->
+    uint32[1, T].  Static log2 fold — Mosaic has no unsigned reductions,
+    so jnp.max/sum over uint32 would fail to lower."""
+    for s in (32, 16, 8, 4, 2, 1):
+        x = x[0:s, :] | x[s:2 * s, :]
+    return x
+
+
 def _greduce(x, F, op):
     """Reduce over each lane group of F (power of two); every lane of a
     group ends up holding the group reduction (log2 F rotate-combines)."""
@@ -630,10 +639,8 @@ def _beam_kernel(*refs, F, iters, minimise, max_fix_iters):
         nz = (ch_lo | ch_hi) != 0
         col = jnp.min(jnp.where(nz, col_iota, 64), axis=0, keepdims=True)
         onehot_col = col_iota == col
-        lo_w = jnp.max(jnp.where(onehot_col, ch_lo, U32(0)), axis=0,
-                       keepdims=True)
-        hi_w = jnp.max(jnp.where(onehot_col, ch_hi, U32(0)), axis=0,
-                       keepdims=True)
+        lo_w = _or_rows(jnp.where(onehot_col, ch_lo, U32(0)))
+        hi_w = _or_rows(jnp.where(onehot_col, ch_hi, U32(0)))
         use_lo = lo_w != U32(0)
         bit_lo = lo_w & (~lo_w + U32(1))
         bit_hi = hi_w & (~hi_w + U32(1))

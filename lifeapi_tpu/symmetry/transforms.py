@@ -15,9 +15,6 @@ import enum
 
 import jax.numpy as jnp
 
-from ..core.board import from_dense, to_dense
-
-
 class SymmetryTransform(enum.IntEnum):
     """Reference Symmetry.hpp:7-26.  Even = axis between cells; odd = axis
     on a cell row/column.  ReflectAcrossYeqNegXP1 reflects across
@@ -101,11 +98,31 @@ def transform_dense(dense, t):
 
 def transform(board, t):
     """Apply transform ``t`` to a packed board (reference
-    ``LifeState::Transform``, Symmetry.hpp:105-173)."""
+    ``LifeState::Transform``, Symmetry.hpp:105-173).
+
+    Bit-permutation pipeline on the packed representation — no dense
+    round-trip: transpose is the block-swap network (core.board.transpose),
+    the y ops are bitrev32 word reversal (flip_x) + 64-bit rotate, the x
+    ops are column reversal + column roll.  ``transform_dense`` remains the
+    independently-derived oracle (tests/test_symmetry.py)."""
+    from ..core import board as B
+
     t = SymmetryTransform(t)
     if t == SymmetryTransform.Identity:
         return board
-    return from_dense(transform_dense(to_dense(board), t))
+    swap, x_op, y_op = _SPEC[t]
+    out = board
+    if swap:
+        out = B.transpose(out, which_diagonal=False)
+    if x_op != "id":
+        out = B.flip_y(out)  # x -> -1-x (column reversal)
+        if x_op == "odd":
+            out = B.roll_x(out, 1)
+    if y_op != "id":
+        out = B.flip_x(out)  # y -> -1-y (bit reversal)
+        if y_op == "odd":
+            out = B.roll_y(out, 1)
+    return out
 
 
 def transform_moved(board, dx, dy, t):
