@@ -577,7 +577,10 @@ def _beam_kernel(*refs, F, iters, minimise, max_fix_iters):
     T = planes0[0].shape[1]
     FULL = U32(0xFFFFFFFF)
 
-    active0 = act_ref[:][0:1, :] != 0  # bool (1, T)
+    # All per-lane flags (active / found / complete) are carried as uint32
+    # lane masks (FULL / 0), NOT bools: Mosaic cannot legalize i1 vector
+    # carries through the while_loop's scf.yield.
+    active0 = act_ref[:][0:1, :]  # uint32 mask (1, T)
     lane_slot = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1) % F
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (64, T), 0)
 
@@ -585,15 +588,15 @@ def _beam_kernel(*refs, F, iters, minimise, max_fix_iters):
         return jnp.where(b, FULL, U32(0))
 
     def cond(c):
-        return jnp.any(c[1]) & (c[7] < iters)
+        return jnp.any(c[1] != 0) & (c[7] < iters)
 
     def body(c):
         planes, active, best_lo, best_hi, best_pop, found, complete, it = c
 
-        alive0 = jnp.broadcast_to(rowmask(active), planes[0].shape)
+        alive0 = jnp.broadcast_to(active, planes[0].shape)
         planes, aborted, _ = _run_fixpoint(planes, max_fix_iters,
                                            alive0=alive0)
-        ok = active & ~jnp.any(aborted != 0, axis=0, keepdims=True)
+        ok = active & ~aborted[0:1, :]  # aborted is lane-constant
 
         s_lo, s_hi = planes[0], planes[1]
         pop = (jnp.sum(jax.lax.population_count(s_lo).astype(jnp.int32),
@@ -602,30 +605,30 @@ def _beam_kernel(*refs, F, iters, minimise, max_fix_iters):
                          axis=0, keepdims=True))
         if minimise:
             # population bound (reference LifeStable.hpp:1351-1355)
-            ok = ok & (pop < best_pop)
+            ok = ok & rowmask(pop < best_pop)
         else:
             ok = ok & ~found
 
         prio = _priority_planes(planes)
         set_lo, set_hi = prio[6], prio[7]
-        is_leaf = ok & jnp.all((set_lo | set_hi) == 0, axis=0, keepdims=True)
+        is_leaf = ok & rowmask(_or_rows(set_lo | set_hi) == 0)
 
         # -- harvest: best leaf of this round per problem (key packs the
         # slot index for the same lowest-slot tie-break as argmin)
-        leaf_key = jnp.where(is_leaf, pop * 16 + lane_slot,
+        leaf_key = jnp.where(is_leaf != 0, pop * 16 + lane_slot,
                              jnp.int32(_LEAF_SENTINEL))
         gmin = _greduce(leaf_key, F, jnp.minimum)
         has_leaf = gmin < _LEAF_SENTINEL
         round_pop = jnp.where(has_leaf, gmin >> 4, _INT32_MAX)
         better = round_pop < best_pop
-        winner = rowmask(is_leaf & (leaf_key == gmin))
+        winner = is_leaf & rowmask(leaf_key == gmin)
         win_lo = _greduce(s_lo & winner, F, jnp.bitwise_or)
         win_hi = _greduce(s_hi & winner, F, jnp.bitwise_or)
         bm = rowmask(better)
         best_lo = (win_lo & bm) | (best_lo & ~bm)
         best_hi = (win_hi & bm) | (best_hi & ~bm)
         best_pop = jnp.where(better, round_pop, best_pop)
-        found = found | better
+        found = found | bm
         ok = ok & ~is_leaf
 
         # -- branch cell: first cell of the highest nonempty priority
@@ -644,16 +647,15 @@ def _beam_kernel(*refs, F, iters, minimise, max_fix_iters):
         use_lo = lo_w != U32(0)
         bit_lo = lo_w & (~lo_w + U32(1))
         bit_hi = hi_w & (~hi_w + U32(1))
-        okm = rowmask(ok)
-        cell_lo = jnp.where(onehot_col & use_lo, bit_lo, U32(0)) & okm
-        cell_hi = jnp.where(onehot_col & ~use_lo, bit_hi, U32(0)) & okm
+        cell_lo = jnp.where(onehot_col & use_lo, bit_lo, U32(0)) & ok
+        cell_hi = jnp.where(onehot_col & ~use_lo, bit_hi, U32(0)) & ok
 
         # -- rank the 2F children per problem: key orders by population,
         # then OFF-before-ON, then slot — the exact stable-argsort order
         # of the packed jnp runner
         BIG = jnp.int32(_LEAF_SENTINEL)
-        score_off = jnp.where(ok, pop, BIG)
-        score_on = jnp.where(ok, pop + 1, BIG)
+        score_off = jnp.where(ok != 0, pop, BIG)
+        score_on = jnp.where(ok != 0, pop + 1, BIG)
         key_off = score_off * (2 * F) + lane_slot
         key_on = score_on * (2 * F) + F + lane_slot
         rank_off = jnp.zeros_like(key_off)
@@ -668,13 +670,12 @@ def _beam_kernel(*refs, F, iters, minimise, max_fix_iters):
 
         # an active candidate ranked beyond capacity is dropped: the
         # search is no longer exhaustive (soundness of proved_inconsistent)
-        dropped_row = ok & ((rank_off >= F) | (rank_on >= F))
-        dropped = _greduce(rowmask(dropped_row), F, jnp.bitwise_or) != 0
+        dropped_row = ok & rowmask((rank_off >= F) | (rank_on >= F))
+        dropped = _greduce(dropped_row, F, jnp.bitwise_or)
         complete = complete & ~dropped
 
         # -- gather: destination slot j takes the candidate ranked j
         # (ranks are a permutation of 0..2F-1, so exactly one per slot)
-        ok_m = rowmask(ok)
         g = [jnp.zeros_like(p) for p in planes]
         g_cl = jnp.zeros_like(cell_lo)
         g_ch = jnp.zeros_like(cell_hi)
@@ -689,8 +690,8 @@ def _beam_kernel(*refs, F, iters, minimise, max_fix_iters):
             g_cl = g_cl | (_grot(cell_lo, k, F) & sm)
             g_ch = g_ch | (_grot(cell_hi, k, F) & sm)
             ison = ison | rowmask(sel_on)
-            nact = nact | (_grot(ok_m, k, F) & sm)
-        new_active = nact != 0
+            nact = nact | (_grot(ok, k, F) & sm)
+        new_active = nact
 
         new_planes = []
         for i in range(N_PLANES):
@@ -713,8 +714,8 @@ def _beam_kernel(*refs, F, iters, minimise, max_fix_iters):
     best_lo0 = jnp.zeros((64, T), U32)
     best_hi0 = jnp.zeros((64, T), U32)
     best_pop0 = jnp.full((1, T), _INT32_MAX, jnp.int32)
-    found0 = jnp.zeros((1, T), bool)
-    complete0 = jnp.ones((1, T), bool)
+    found0 = jnp.zeros((1, T), U32)
+    complete0 = jnp.full((1, T), FULL, U32)
     out = jax.lax.while_loop(
         cond, body,
         (planes0, active0, best_lo0, best_hi0, best_pop0, found0,
@@ -725,10 +726,10 @@ def _beam_kernel(*refs, F, iters, minimise, max_fix_iters):
     best_lo_ref[:] = best_lo
     best_hi_ref[:] = best_hi
     best_pop_ref[:] = jnp.broadcast_to(best_pop, (8, T))
-    found_ref[:] = jnp.broadcast_to(rowmask(found), (8, T))
-    complete_ref[:] = jnp.broadcast_to(rowmask(complete), (8, T))
+    found_ref[:] = jnp.broadcast_to(found, (8, T))
+    complete_ref[:] = jnp.broadcast_to(complete, (8, T))
     active_any_ref[:] = jnp.broadcast_to(
-        _greduce(rowmask(activeF), F, jnp.bitwise_or), (8, T))
+        _greduce(activeF, F, jnp.bitwise_or), (8, T))
 
 
 @functools.partial(jax.jit, static_argnames=("F", "iters", "minimise",

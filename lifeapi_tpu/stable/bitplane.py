@@ -475,6 +475,104 @@ def step_ternary_packed(state, unknown, naive=False):
     return next_state, next_unknown
 
 
+def refined_step_circuit(cur_on, cur_unk, ruled, A_cur, A_stab, U_stab):
+    """Elementwise core of the options-REFINED ternary step (the reference's
+    dormant ``bitslicing/unknown_step_refined.py:51-85`` semantics): step a
+    board whose unknown cells are *stable* unknowns, using the stable option
+    planes to enumerate only the achievable neighbour configurations instead
+    of the naive count interval.
+
+    Inputs (all exclusive of the center cell):
+      ``A_cur``  nibble — currently known-ON neighbours,
+      ``A_stab`` nibble — stable known-ON neighbours,
+      ``U_stab`` nibble — stable-unknown neighbours,
+    plus the current three-state (``cur_on``/``cur_unk``) and the center's
+    8 ruled option planes.
+
+    For each possible stable option (center s, stable count n): the
+    unknown neighbours contribute exactly ``n - A_stab`` current ON cells
+    (they sit at their stable values), so the current count is
+    ``c = A_cur + n - A_stab``; the center steps by ``life_rule(center, c)``
+    with center = the current state, or s when the current state is
+    unknown.  Aggregating over options yields maybe_on / maybe_off /
+    maybe_unstable exactly as the reference's ``unknown_step_function``.
+
+    Returns ``(next_on, next_unknown, unstable)`` planes:
+      * cells whose current AND stable center are unknown stay unknown
+        ("we don't ever want an unknown cell to become known"); for them
+        ``unstable`` flags that stability of the unknown background could
+        not be guaranteed (the reference's ``next_unknown_stable`` negated);
+      * cells with no achievable option at all (inconsistent stable
+        knowledge) come out unknown with ``unstable`` set.
+    """
+    known_off = ~cur_on & ~cur_unk
+
+    # V = A_cur - A_stab + 8  (shifted to stay unsigned; range 0..16)
+    eight = nb.const(cur_on, 8, width=5)
+    V = nb.add(A_cur, nb.sub(eight, A_stab, width=5), width=5)
+    # achievable current count for option count n:  c = n + (V - 8)
+    # c == 3  <=>  V == 11 - n ;  c in {2,3}  <=>  V in {10-n, 11-n}
+    eqV = {v: nb.eq_const(V, v) for v in range(4, 12)}
+
+    AU_stab = nb.add(A_stab, U_stab)
+
+    maybe_on = jnp.zeros_like(cur_on)
+    maybe_off = jnp.zeros_like(cur_on)
+    maybe_unstable = jnp.zeros_like(cur_on)
+    any_valid = jnp.zeros_like(cur_on)
+    for idx, (_, cnt, live) in enumerate(OPTIONS):
+        # option achievable: not ruled out AND its stable count is reachable
+        # (A_stab <= cnt <= A_stab + U_stab)
+        valid = (~ruled[idx] & nb.le_const(A_stab, cnt)
+                 & nb.ge_const(AU_stab, cnt))
+        # center used for stepping: the current state; option's stable
+        # center when the current state is unknown
+        if live:
+            center_on = cur_on | cur_unk
+        else:
+            center_on = cur_on
+        # life_rule(center, c): ON iff c==3, or center ON and c==2
+        stepped_on = eqV[11 - cnt] | (center_on & eqV[10 - cnt])
+        unstable = ~stepped_on if live else stepped_on
+        maybe_on = maybe_on | (valid & stepped_on)
+        maybe_off = maybe_off | (valid & ~stepped_on)
+        maybe_unstable = maybe_unstable | (valid & unstable)
+        any_valid = any_valid | valid
+
+    # stable three-state of the center from the option planes alone
+    # (reference StableOptions.to_three_state)
+    maybe_live_o = ~(ruled[0] & ruled[1])
+    maybe_dead_o = ~(ruled[2] & ruled[3] & ruled[4] & ruled[5]
+                     & ruled[6] & ruled[7])
+    stable_unknown = maybe_live_o & maybe_dead_o
+    keep_unknown = cur_unk & stable_unknown
+
+    inconsistent = ~any_valid
+    next_unknown = keep_unknown | (maybe_on & maybe_off) | inconsistent
+    next_on = maybe_on & ~maybe_off & ~next_unknown
+    unstable = (keep_unknown & maybe_unstable) | inconsistent
+    return next_on, next_unknown, unstable
+
+
+def step_ternary_refined(cur_state, cur_unknown, stable: BitStable):
+    """Options-refined packed ternary step (reference
+    unknown_step_refined.py semantics; see :func:`refined_step_circuit`).
+
+    ``cur_state``/``cur_unknown``: the current generation as packed planes
+    (unknown cells are assumed to sit at their stable values — the
+    reference's "all unknowns are stable unknowns" precondition, i.e.
+    ``cur_unknown == stable.unknown``).  ``stable`` carries the stable
+    background knowledge.  Returns (next_state, next_unknown, unstable)."""
+    on9c = _counts_nibble(cur_state)
+    A_cur = nb.sub_bit(on9c, cur_state)
+    on9s = _counts_nibble(stable.state)
+    A_stab = nb.sub_bit(on9s, stable.state)
+    unk9s = _counts_nibble(stable.unknown)
+    U_stab = nb.sub_bit(unk9s, stable.unknown)
+    return refined_step_circuit(cur_state, cur_unknown, stable.ruled,
+                                A_cur, A_stab, U_stab)
+
+
 def vulnerable_circuit(state, unknown, ruled, on9, unk9):
     """Elementwise core of the ``Vulnerable`` heuristic: per-cell signal
     masks ``(v_on, v_off, vc_on, vc_off)`` from the inclusive 9-counts.

@@ -1,0 +1,194 @@
+"""Options-refined ternary stepping (reference
+bitslicing/unknown_step_refined.py:51-85 semantics).
+
+Two layers of checking, mirroring the strategy used for the other
+stable-solver circuits:
+
+1. exhaustive per-cell equivalence of the packed circuit against an
+   independently written scalar spec over the FULL input grid (all option
+   masks x center states x count combinations), with counts injected
+   directly as nibble planes;
+2. end-to-end soundness on a real board: every brute-force completion of
+   the stable background must step inside the refined result's bounds,
+   and "stable unknown" guarantees must hold in every completion.
+"""
+
+import itertools
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lifeapi_tpu.core import board, rle
+from lifeapi_tpu.core.step import step as life_step
+from lifeapi_tpu.stable import bitplane as BP
+from lifeapi_tpu.stable import nibble as nb
+from lifeapi_tpu.stable import options as opt
+
+N = 64
+OPTS = ((2, True), (3, True), (0, False), (1, False), (2, False),
+        (4, False), (5, False), (6, False))
+
+
+def spec_refined(ruled_mask, cur, a_cur, a_stab, u_stab):
+    """Scalar spec: enumerate achievable stable options, step each
+    scenario, aggregate — written directly from the semantics (stable
+    unknowns sit at their stable values, so option count n contributes
+    n - a_stab current ONs)."""
+    possible = [i for i in range(8) if not (ruled_mask >> i) & 1]
+    maybe_live = any(OPTS[i][1] for i in possible)
+    maybe_dead = any(not OPTS[i][1] for i in possible)
+    m_on = m_off = m_unst = False
+    any_valid = False
+    for i in possible:
+        cnt, live = OPTS[i]
+        if not (a_stab <= cnt <= a_stab + u_stab):
+            continue
+        any_valid = True
+        c = cnt - a_stab + a_cur
+        center_on = live if cur == opt.UNKNOWN else (cur == opt.ON)
+        stepped_on = (c in (2, 3)) if center_on else (c == 3)
+        m_on |= stepped_on
+        m_off |= not stepped_on
+        m_unst |= stepped_on != live
+    keep_unknown = (cur == opt.UNKNOWN) and maybe_live and maybe_dead
+    inconsistent = not any_valid
+    next_unknown = keep_unknown or (m_on and m_off) or inconsistent
+    next_on = m_on and not m_off and not next_unknown
+    unstable = (keep_unknown and m_unst) or inconsistent
+    return next_on, next_unknown, unstable
+
+
+def test_refined_circuit_exhaustive():
+    """Every (ruled mask, center, a_stab, u_stab, a_cur) combination in
+    one batched circuit evaluation, vs the scalar spec."""
+    cases = []
+    for ruled_mask in range(256):
+        for cur in (opt.OFF, opt.ON, opt.UNKNOWN):
+            for a_stab in range(9):
+                for u_stab in range(9 - a_stab):
+                    for a_cur in range(9):
+                        cases.append((ruled_mask, cur, a_cur, a_stab, u_stab))
+    arr = np.array(cases, dtype=np.int32)
+    n = len(arr)
+    cells = N * N
+    nboards = -(-n // cells)
+    pad = nboards * cells - n
+    arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
+    rm, cur, a_cur, a_stab, u_stab = (
+        arr[:, i].reshape(nboards, N, N) for i in range(5)
+    )
+
+    cur_on = board.from_dense(jnp.asarray(cur == opt.ON))
+    cur_unk = board.from_dense(jnp.asarray(cur == opt.UNKNOWN))
+    ruled = tuple(
+        board.from_dense(jnp.asarray((rm >> i) & 1 == 1)) for i in range(8)
+    )
+    A_cur = nb.encode(jnp.asarray(a_cur))
+    A_stab = nb.encode(jnp.asarray(a_stab))
+    U_stab = nb.encode(jnp.asarray(u_stab))
+
+    got_on, got_unk, got_unst = BP.refined_step_circuit(
+        cur_on, cur_unk, ruled, A_cur, A_stab, U_stab
+    )
+    got_on = np.asarray(board.to_dense(got_on)).reshape(-1)[:n]
+    got_unk = np.asarray(board.to_dense(got_unk)).reshape(-1)[:n]
+    got_unst = np.asarray(board.to_dense(got_unst)).reshape(-1)[:n]
+
+    exp = np.array([spec_refined(*c) for c in cases], dtype=bool)
+    assert (got_on == exp[:, 0]).all()
+    assert (got_unk == exp[:, 1]).all()
+    assert (got_unst == exp[:, 2]).all()
+
+
+def _completions(state_d, unknown_d):
+    """All still-life completions of a dense partial board (assign every
+    unknown cell, keep assignments that are fixpoints of the Life step)."""
+    cells = list(zip(*np.nonzero(unknown_d)))
+    out = []
+    for bits in itertools.product((False, True), repeat=len(cells)):
+        full = state_d.copy()
+        for (x, y), b in zip(cells, bits):
+            full[x, y] = b
+        p = board.from_dense(jnp.asarray(full))
+        if bool(board.equal(life_step(p), p)):
+            out.append(full)
+    return out
+
+
+def test_refined_step_sound_on_completions():
+    """Eater with 4 hidden cells + an active blinker: for EVERY still-life
+    completion, the exact step of the completed current board must lie
+    within the refined step's three-state result, and every unknown cell
+    NOT flagged unstable must really be stable in every completion."""
+    eater = board.move(rle.parse("2b2o$bobo$bo$2o!"), 20, 20)
+    hide = board.from_cells([(22, 20), (23, 20), (23, 21), (21, 23)])
+    state = eater & ~hide
+    # active blinker two cells clear of the eater's bounding box
+    blinker = board.from_cells([(27, 26), (27, 27), (27, 28)])
+
+    state_d = np.asarray(board.to_dense(state))
+    unknown_d = np.asarray(board.to_dense(hide))
+    comps = _completions(state_d, unknown_d)
+    assert len(comps) >= 1  # the eater itself at minimum
+
+    # stable knowledge: propagate the partial board's option planes
+    bst = BP.make(state=state, unknown=hide)
+    res = BP.propagate(BP.BitStable(bst.state[None], bst.unknown[None],
+                                    tuple(r[None] for r in bst.ruled)))
+    assert bool(res.consistent[0])
+    stable = BP.BitStable(res.stable.state[0], res.stable.unknown[0],
+                          tuple(r[0] for r in res.stable.ruled))
+
+    cur_state = stable.state | blinker
+    cur_unknown = stable.unknown
+    nxt_on, nxt_unk, unstable = BP.step_ternary_refined(
+        cur_state, cur_unknown, stable
+    )
+    nxt_on_d = np.asarray(board.to_dense(nxt_on))
+    nxt_unk_d = np.asarray(board.to_dense(nxt_unk))
+    unstable_d = np.asarray(board.to_dense(unstable))
+    unk0_d = np.asarray(board.to_dense(cur_unknown))
+    blink_d = np.asarray(board.to_dense(blinker))
+
+    # refined must beat the naive interval step (strictly fewer or equal
+    # unknowns) — the whole point of using the stable options
+    naive_on, naive_unk = BP.step_ternary_packed(cur_state, cur_unknown,
+                                                 naive=True)
+    naive_unk_d = np.asarray(board.to_dense(naive_unk))
+    assert (nxt_unk_d <= naive_unk_d).all()
+
+    for full in comps:
+        # (cells propagate forced are agreed on by every still-life
+        # completion — propagation is sound — so cur_full below is
+        # consistent with `full` on them)
+        cur_full = (np.asarray(board.to_dense(cur_state)) & ~unk0_d) | (
+            full & unk0_d
+        )
+        stepped = np.asarray(
+            board.to_dense(life_step(board.from_dense(jnp.asarray(cur_full))))
+        )
+        known = ~nxt_unk_d
+        # known-next cells must match the exact step of every completion
+        assert (stepped[known] == nxt_on_d[known]).all()
+        # unknown cells not flagged unstable must be stable in this
+        # completion (next value == stable value)
+        guaranteed = unk0_d & ~unstable_d
+        assert (stepped[guaranteed] == full[guaranteed]).all()
+
+
+def test_refined_equals_exact_when_fully_known():
+    """No unknowns anywhere: the refined step must equal the exact step."""
+    rng = np.random.default_rng(7)
+    d = rng.random((4, N, N)) < 0.3
+    cur = board.from_dense(jnp.asarray(d))
+    none = jnp.zeros_like(cur)
+    # stable background: all cells known OFF (empty still life), current
+    # state is an arbitrary active pattern on top of it
+    stable = BP.make(state=jnp.broadcast_to(board.empty(), cur.shape),
+                     unknown=jnp.broadcast_to(board.empty(), cur.shape))
+    nxt_on, nxt_unk, unstable = BP.step_ternary_refined(cur, none, stable)
+    assert bool(board.is_empty(nxt_unk).all())
+    assert bool(board.is_empty(unstable).all())
+    exact = life_step(cur)
+    assert bool(jnp.all(board.equal(nxt_on, exact)))
