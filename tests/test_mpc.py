@@ -156,3 +156,28 @@ def test_receding_horizon_reaches_target():
     assert result.boards.shape[0] == 9
     err = receding.final_error(result, problem.target)
     assert int(err) == 0, int(err)
+
+
+def test_receding_fused_one_dispatch():
+    """run_fused: the whole receding loop in one jitted dispatch must (a)
+    produce a trajectory that follows the exact dynamics step-for-step and
+    (b) reach the target like the host-loop driver."""
+    from lifeapi_tpu.mpc import receding
+
+    problem = _toy_problem(horizon=4)
+    problem = problem._replace(
+        weights=CostWeights(target=1.0, control=0.01, path=1.0)
+    )
+    result = receding.run_fused(
+        problem, jax.random.key(11), steps=8, apply_horizon=2,
+        n_candidates=8, solve_iters=80,
+    )
+    assert result.boards.shape == (9, 64, 2)
+    assert result.applied.shape == (8, 64, 2)
+    assert result.costs.shape == (4,)
+    # trajectory consistency: boards[i+1] == step(boards[i] ^ applied[i])
+    for i in range(8):
+        expect = step.step(result.boards[i] ^ result.applied[i])
+        assert bool(board.equal(result.boards[i + 1], expect))
+    err = receding.final_error(result, problem.target)
+    assert int(err) == 0, int(err)
