@@ -567,11 +567,17 @@ def _greduce(x, F, op):
     return x
 
 
-def _beam_kernel(*refs, F, iters, minimise, max_fix_iters):
+def _beam_kernel(*refs, F, iters, minimise, max_fix_iters, use_seed=False):
     act_ref = refs[0]
     in_planes = refs[1:21]
+    if use_seed:
+        seed_lo0, seed_hi0 = refs[21][:], refs[22][:]
+        out_refs = refs[23:]
+    else:
+        seed_lo0 = seed_hi0 = None
+        out_refs = refs[21:]
     (best_lo_ref, best_hi_ref, best_pop_ref, found_ref, complete_ref,
-     active_any_ref) = refs[21:]
+     active_any_ref) = out_refs
 
     planes0 = tuple(r[:] for r in in_planes)
     T = planes0[0].shape[1]
@@ -610,6 +616,41 @@ def _beam_kernel(*refs, F, iters, minimise, max_fix_iters):
             ok = ok & ~found
 
         prio = _priority_planes(planes)
+        if use_seed:
+            # seed-proximity restriction (reference useSeed,
+            # LifeStable.hpp:1366-1375): intersect every priority level
+            # with the smallest seed-ZOI-dilation touching the settable
+            # set.  Leaf-ness is unchanged: for ok lanes the restricted
+            # settable is nonempty iff the unrestricted one was (the
+            # growth loop guarantees intersection; empty-seed lanes are
+            # unrestricted).  Same ordering as the jnp runner.
+            st_lo, st_hi = prio[6], prio[7]
+            has_set = ok & rowmask(_or_rows(st_lo | st_hi) != 0)
+            semask = rowmask(_or_rows(seed_lo0 | seed_hi0) == 0)
+            sz0 = (seed_lo0 | semask, seed_hi0 | semask)
+
+            def _grow_mask(sl, sh):
+                inter = _or_rows((st_lo & sl) | (st_hi & sh))
+                return has_set & rowmask(inter == 0)
+
+            def zcond(zc):
+                sl, sh, zit = zc
+                return jnp.any(_grow_mask(sl, sh) != 0) & (zit < 33)
+
+            def zbody(zc):
+                sl, sh, zit = zc
+                zl, zh = _zoi_hollow(sl, sh)
+                nl, nh = zl | sl, zh | sh
+                g = _grow_mask(sl, sh)
+                return (nl & g) | (sl & ~g), (nh & g) | (sh & ~g), zit + 1
+
+            sz_lo, sz_hi, _ = jax.lax.while_loop(
+                zcond, zbody, (sz0[0], sz0[1], jnp.int32(0))
+            )
+            prio = tuple(
+                p & (sz_lo if j % 2 == 0 else sz_hi)
+                for j, p in enumerate(prio)
+            )
         set_lo, set_hi = prio[6], prio[7]
         is_leaf = ok & rowmask(_or_rows(set_lo | set_hi) == 0)
 
@@ -736,7 +777,8 @@ def _beam_kernel(*refs, F, iters, minimise, max_fix_iters):
                                              "batch_tile", "interpret",
                                              "max_fix_iters"))
 def beam_search_planes(planes, active_row, *, F, iters, minimise,
-                       batch_tile=128, interpret=False, max_fix_iters=256):
+                       batch_tile=128, interpret=False, max_fix_iters=256,
+                       seed_planes=None):
     """Run the ENTIRE beam completion search in one pallas_call.
 
     ``planes``: 20 uint32[64, L] half-planes (L = B*F lanes, slot index
@@ -763,12 +805,14 @@ def beam_search_planes(planes, active_row, *, F, iters, minimise,
         jax.ShapeDtypeStruct((8, L), U32),
         jax.ShapeDtypeStruct((8, L), U32),
     )
+    use_seed = seed_planes is not None
+    seed_in = tuple(seed_planes) if use_seed else ()
     return pl.pallas_call(
         functools.partial(_beam_kernel, F=F, iters=iters, minimise=minimise,
-                          max_fix_iters=max_fix_iters),
+                          max_fix_iters=max_fix_iters, use_seed=use_seed),
         out_shape=out_shapes,
         grid=grid,
-        in_specs=[rspec] + [pspec] * 20,
+        in_specs=[rspec] + [pspec] * (20 + 2 * use_seed),
         out_specs=(pspec, pspec, rspec, rspec, rspec, rspec),
         interpret=interpret,
-    )(active_row, *planes)
+    )(active_row, *planes, *seed_in)

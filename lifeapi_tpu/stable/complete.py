@@ -200,7 +200,42 @@ def _first_cell_mask(packed):
     return cellw.reshape(lead + (64, 2))
 
 
-def _beam_body(carry, minimise):
+def _seed_restrict(levels, ok, seed):
+    """Seed-proximity restriction of the branch-priority masks (reference
+    ``useSeed``, LifeStable.hpp:1366-1375): grow the seed's ZOI until it
+    touches the settable set, then intersect every level with it.  Runs
+    per frontier candidate under jit (bounded while_loop; 32 dilations
+    cover the torus).  Lanes with an empty seed are left unrestricted."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..core import board as BRD
+
+    settable = levels[3]
+    has_settable = ~BRD.is_empty(settable) & ok
+    seed = jnp.broadcast_to(seed[:, None], settable.shape)
+    seed_empty = BRD.is_empty(seed)
+    full = jnp.full_like(seed, jnp.uint32(0xFFFFFFFF))
+    sz0 = jnp.where(seed_empty[..., None, None], full, seed)
+
+    def grow_mask(sz):
+        return has_settable & BRD.is_empty(settable & sz)
+
+    def cond(c):
+        sz, it = c
+        return jnp.any(grow_mask(sz)) & (it < 33)
+
+    def body(c):
+        sz, it = c
+        grown = BRD.zoi(sz)
+        g = grow_mask(sz)[..., None, None]
+        return jnp.where(g, grown, sz), it + 1
+
+    sz, _ = jax.lax.while_loop(cond, body, (sz0, jnp.int32(0)))
+    return tuple(lvl & sz for lvl in levels)
+
+
+def _beam_body(carry, minimise, seed=None):
     """One beam round: propagate every frontier candidate, harvest leaves,
     branch on the heuristic cell, keep the best F children."""
     import jax.numpy as jnp
@@ -215,6 +250,8 @@ def _beam_body(carry, minimise):
     res, levels = _propagate_frontier(cur)
     cur = res.stable
     ok = active & res.consistent
+    if seed is not None:
+        levels = _seed_restrict(levels, ok, seed)
 
     pop = BRD.population(cur.state)
     if minimise:
@@ -290,9 +327,10 @@ def _make_beam_runner():
     import jax
 
     @functools.partial(
-        jax.jit, static_argnames=("iters", "minimise")
+        jax.jit, static_argnames=("iters", "minimise", "use_seed")
     )
-    def run(cur0, active0, best0, best_pop0, found0, iters, minimise):
+    def run(cur0, active0, best0, best_pop0, found0, seed, iters, minimise,
+            use_seed=False):
         import jax.numpy as jnp
 
         complete0 = jnp.ones(found0.shape, bool)
@@ -309,7 +347,8 @@ def _make_beam_runner():
 
         def loop_body(carry):
             *state, it = carry
-            out = _beam_body(tuple(state), minimise)
+            out = _beam_body(tuple(state), minimise,
+                             seed=seed if use_seed else None)
             return out + (it + 1,)
 
         return jax.lax.while_loop(cond, loop_body, carry)[:-1]
@@ -321,7 +360,8 @@ _BEAM_RUN = None
 
 
 def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
-                         fused=None, interpret=False, dense=True):
+                         fused=None, interpret=False, dense=True,
+                         seed=None):
     """Batched frontier search over ``[B]`` independent problems.
 
     Each problem keeps a frontier of up to ``frontier`` candidate partial
@@ -342,6 +382,12 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
     in interpreter mode (CPU testing only).  ``dense=False`` returns
     ``best`` as a packed uint32[B, 64, 2] board instead of dense bools —
     an 8x smaller readback, which matters through a tunneled backend.
+
+    ``seed`` (packed uint32[B, 64, 2], optional) enables the reference's
+    seed-proximity branching (``useSeed``, LifeStable.hpp:1366-1375):
+    branch cells are restricted to the smallest ZOI-dilation of the seed
+    that touches the settable set, keeping minimise-mode solutions from
+    wandering away from the incumbent.
     """
     import jax
     import jax.numpy as jnp
@@ -375,12 +421,18 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
         else:
             b_pad, lane_tile = B, flat
         planes = SP._to_kernel_planes(bst0)
+        if seed is not None:
+            planes = planes + (
+                jnp.transpose(seed[..., 0]), jnp.transpose(seed[..., 1])
+            )
         if b_pad != B:
             planes = tuple(
                 jnp.pad(p, ((0, 0), (0, b_pad - B))) for p in planes
             )
         L = b_pad * F
         planes0 = tuple(jnp.repeat(p, F, axis=1) for p in planes)
+        seed_planes = planes0[20:] if seed is not None else None
+        planes0 = planes0[:20]
         lane = jnp.arange(L)
         act = (lane % F == 0) & (lane < B * F)
         active_row = jnp.broadcast_to(
@@ -391,6 +443,7 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
             SP.beam_search_planes(
                 planes0, active_row, F=F, iters=iters, minimise=minimise,
                 batch_tile=lane_tile, interpret=interpret,
+                seed_planes=seed_planes,
             )
         )
         best = jnp.stack(
@@ -423,7 +476,10 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
     best_pop0 = jnp.full((B,), jnp.iinfo(jnp.int32).max, jnp.int32)
     found0 = jnp.zeros((B,), bool)
 
-    out = _BEAM_RUN(cur0, active0, best0, best_pop0, found0, iters, minimise)
+    seed0 = (jnp.zeros((B, N, 2), jnp.uint32) if seed is None
+             else jnp.broadcast_to(seed, (B, N, 2)))
+    out = _BEAM_RUN(cur0, active0, best0, best_pop0, found0, seed0,
+                    iters, minimise, use_seed=seed is not None)
     _, active, best, best_pop, found, complete = out
     best_out = BRD.to_dense(best) if dense else best
     exhausted = ~jnp.any(active, axis=1)

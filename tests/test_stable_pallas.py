@@ -259,6 +259,38 @@ def test_beam_fused_minimise_false_inconsistent():
     assert (got.best_pop[got.found] == ref.best_pop[ref.found]).all()
 
 
+def test_beam_seeded_fused_matches_jnp():
+    """Seed-proximity branching (reference useSeed, LifeStable.hpp:
+    1366-1375): the fused kernel and the jnp runner must make identical
+    decisions under a seed restriction, and the result must still be a
+    genuine still life."""
+    from lifeapi_tpu.core.step import step as life_step
+    from lifeapi_tpu.stable import complete as C
+
+    eater = board.move(rle.parse("2b2o$bobo$bo$2o!"), 20, 20)
+    hide = board.from_cells([(20, 20), (21, 20), (22, 21)])
+    unknown = (board.zoi(board.zoi(eater)) & ~eater) | hide
+    B = 3
+    st = P.make(
+        state=jnp.broadcast_to(board.to_dense(eater & ~hide), (B, N, N)),
+        unknown=jnp.broadcast_to(board.to_dense(unknown), (B, N, N)),
+    )
+    seed = jnp.broadcast_to(eater & ~hide, (B, 64, 2))
+    ref = C.complete_stable_beam(st, frontier=4, iters=24, minimise=True,
+                                 fused=False, seed=seed)
+    got = C.complete_stable_beam(st, frontier=4, iters=24, minimise=True,
+                                 fused=True, interpret=_interp(), seed=seed)
+    assert (got.found == ref.found).all()
+    assert (got.best_pop == ref.best_pop).all()
+    assert (got.best == ref.best).all()
+    assert (got.proved_inconsistent == ref.proved_inconsistent).all()
+    for i in range(B):
+        if ref.found[i]:
+            b = board.from_dense(jnp.asarray(ref.best[i]))
+            assert bool(board.equal(life_step(b), b))
+    assert ref.found.any()
+
+
 def test_beam_fused_random_instances_match_jnp(rng):
     """Randomized decision-equivalence sweep of the whole-search kernel vs
     the packed jnp runner (minimise=True, F=8)."""
