@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Parameter sweep of the whole-search beam kernel on the chip: frontier
+width F, lane tile, fixpoint cap.  One process, one warmup; prints one
+JSON line per config."""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def bench_beam(B, F, iters, tile):
+    from lifeapi_tpu.core import board, rle
+    from lifeapi_tpu.stable import complete as C
+    from lifeapi_tpu.stable import propagate as P
+    from lifeapi_tpu.ops import stable_pallas as SP
+
+    eater = board.move(rle.parse("2b2o$bobo$bo$2o!"), 20, 20)
+    hide = board.from_cells([(20, 20), (21, 20)])
+    unknown = (board.zoi(eater) & ~eater) | hide
+    st = P.make(
+        state=jnp.broadcast_to(board.to_dense(eater & ~hide), (B, 64, 64)),
+        unknown=jnp.broadcast_to(board.to_dense(unknown), (B, 64, 64)),
+    )
+    from lifeapi_tpu.stable import bitplane as BP
+
+    bst0 = BP.from_dense_stable(st)
+    planes = SP._to_kernel_planes(bst0)
+    L = B * F
+    planes0 = tuple(jnp.repeat(p, F, axis=1) for p in planes)
+    lane = jnp.arange(L)
+    act = lane % F == 0
+    active_row = jnp.broadcast_to(
+        jnp.where(act, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))[None, :], (8, L)
+    )
+
+    def run():
+        out = SP.beam_search_planes(
+            planes0, active_row, F=F, iters=iters, minimise=True,
+            batch_tile=tile,
+        )
+        return out
+
+    out = run()
+    found = np.asarray(out[3])[0, ::F]
+    t0 = time.perf_counter()
+    out = run()
+    np.asarray(out[2])
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "config": f"B={B} F={F} iters={iters} tile={tile}",
+        "solves_per_sec": B / dt,
+        "found": float((found != 0).mean()),
+        "vs_baseline": B / dt / 3333.0,
+    }), flush=True)
+    return B / dt
+
+
+if __name__ == "__main__":
+    configs = [
+        (2048, 4, 24, 128),
+        (2048, 4, 24, 256),
+        (2048, 4, 24, 512),
+        (4096, 4, 24, 512),
+        (2048, 8, 16, 512),
+        (8192, 4, 24, 1024),
+    ]
+    if len(sys.argv) > 1:
+        configs = [tuple(int(x) for x in a.split(",")) for a in sys.argv[1:]]
+    for B, F, iters, tile in configs:
+        bench_beam(B, F, iters, tile)

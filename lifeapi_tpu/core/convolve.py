@@ -67,7 +67,97 @@ def _idft2_real(f):
     return jnp.real(jnp.swapaxes(z, -1, -2)) * (1.0 / (N * N))
 
 
-def _prefer_dft():
+_NTT_PRIMES = (193, 257)  # both ~ 1 mod 64, product 49601 > max count 4096
+_NTT_MATS = None
+
+
+def _ntt_matrices():
+    """Per-prime forward/inverse NTT matrices as f32 constants (host-built,
+    cached).  Entries are integers < 256, so casting to bfloat16 is EXACT —
+    which makes every NTT stage a single-pass bf16 MXU matmul with exact
+    f32 accumulation (products <= 256^2, row sums <= 64*256^2 < 2^24)."""
+    global _NTT_MATS
+    if _NTT_MATS is None:
+        import numpy as np
+
+        mats = []
+        for p in _NTT_PRIMES:
+            # find a 64th root of unity: g generator of Z_p*, w = g^((p-1)/64)
+            for g in range(2, p):
+                seen = {pow(g, k, p) for k in range(p - 1)}
+                if len(seen) == p - 1:
+                    break
+            w = pow(g, (p - 1) // 64, p)
+            k = np.arange(64)
+            jk = np.outer(k, k)
+            W = np.array(
+                [[pow(w, int(e) % 64, p) for e in row] for row in jk],
+                dtype=np.int64,
+            )
+            winv = pow(w, 63, p)
+            inv64 = pow(64, p - 2, p)
+            Winv = np.array(
+                [[pow(winv, int(e) % 64, p) * inv64 % p for e in row]
+                 for row in jk],
+                dtype=np.int64,
+            )
+            mats.append((W.astype(np.float32), Winv.astype(np.float32)))
+        _NTT_MATS = mats
+    return _NTT_MATS
+
+
+def _mod_p(x, p):
+    """Exact mod for integer-valued f32 arrays (values < 2^24)."""
+    q = jnp.floor(x / p)
+    r = x - q * p
+    r = jnp.where(r < 0, r + p, r)
+    return jnp.where(r >= p, r - p, r)
+
+
+def _bf16_mm(x, w):
+    """Single-pass bf16 matmul with f32 accumulation — exact for
+    integer operands <= 256 (bf16 represents them exactly; products and
+    64-length row sums stay under 2^24)."""
+    import jax.lax as lax
+
+    return lax.dot_general(
+        x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _ntt2(x, W, p):
+    """2D NTT: W @ X @ W mod p (W is symmetric).  Contractions arranged as
+    two last-axis matmuls with a transpose between, mod-reduced so the
+    next stage's operands stay <= 256."""
+    y = _mod_p(_bf16_mm(x, W), p)  # contract columns
+    yt = jnp.swapaxes(y, -1, -2)
+    z = _mod_p(_bf16_mm(yt, W), p)  # contract rows
+    return jnp.swapaxes(z, -1, -2)
+
+
+def _conv_ntt(da, db):
+    """Exact integer circular convolution by CRT over two single-pass-bf16
+    NTTs.  Unlike the complex-DFT path this needs NO high-precision matmul
+    emulation: all values are small integers at every stage, so the MXU's
+    native bf16 x bf16 -> f32 path is exact end-to-end."""
+    p1, p2 = _NTT_PRIMES
+    (W1, V1), (W2, V2) = _ntt_matrices()
+    outs = []
+    for p, W, V in ((p1, W1, V1), (p2, W2, V2)):
+        fa = _ntt2(da, W, p)
+        fb = _ntt2(db, W, p)
+        prod = _mod_p(fa * fb, p)
+        outs.append(_ntt2(prod, V, p))
+    c1, c2 = outs
+    # CRT: x = c1 + p1 * ((c2 - c1) * inv(p1) mod p2)
+    inv_p1 = pow(p1, p2 - 2, p2)
+    t = _mod_p((c2 - c1) * inv_p1, p2)
+    return c1 + p1 * t
+
+
+def _prefer_ntt():
     import jax
 
     return jax.default_backend() == "tpu"
@@ -75,12 +165,15 @@ def _prefer_dft():
 
 def _conv_real(da, db, method=None):
     """Real-valued circular convolution of dense [..., 64, 64] fields.
-    ``method``: "dft" (matmul transform, the TPU default), "fft"
+    ``method``: "ntt" (two-prime integer transform, the TPU default —
+    bit-exact by construction), "dft" (complex matmul transform), "fft"
     (jnp.fft, the CPU default), or None for the backend-appropriate one.
-    Both are exact for these integer-valued convolutions (counts are
+    All are exact for these integer-valued convolutions (counts are
     bounded by 4096; tests/test_convolve.py checks the paths agree)."""
     if method is None:
-        method = "dft" if _prefer_dft() else "fft"
+        method = "ntt" if _prefer_ntt() else "fft"
+    if method == "ntt":
+        return _conv_ntt(da.astype(jnp.float32), db.astype(jnp.float32))
     if method == "dft":
         return _idft2_real(_dft2(da) * _dft2(db))
     fa = _fft(da)

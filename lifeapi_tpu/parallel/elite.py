@@ -118,3 +118,78 @@ def sharded_scenario_sweep(problems_initial, target, horizon, control_mask,
         return per_scenario, jnp.min(all_best)
 
     return run(problems_initial, logits0)
+
+
+def sharded_beam_complete(bst, mesh, frontier=4, iters=32, minimise=True):
+    """Stable-completion beam search data-parallel over the WHOLE mesh,
+    with a cross-device champion exchange — the sharded counterpart of
+    stable/complete.complete_stable_beam (SURVEY.md section 2.8: sharded
+    search / elite selection).
+
+    ``bst``: packed BitStable with [B, ...] leading axis, B divisible by
+    the mesh size.  Each device runs the jnp beam on its shard, then the
+    globally minimal-population completion is selected by a pmin over a
+    device-unique key and broadcast by psum (the single winning device
+    contributes the board).  Returns (found[B], best[B, 64, 2],
+    best_pop[B], champion board [64, 2], champion pop []).
+    """
+    from ..stable import complete as C
+
+    both = (SCENARIO_AXIS, CANDIDATE_AXIS)
+    n_dev = mesh.devices.size
+    SENTINEL = jnp.int32(5000)  # > max population 4096
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(both),),
+        out_specs=(P(both), P(both), P(both), P(), P()),
+        check_vma=False,
+    )
+    def run(bst_local):
+        found, best, pop, proved = C.beam_search_jnp(
+            bst_local, frontier, iters, minimise
+        )
+        key = jnp.where(found, jnp.minimum(pop, SENTINEL), SENTINEL)
+        li = jnp.argmin(key)
+        rank = (jax.lax.axis_index(SCENARIO_AXIS)
+                * jax.lax.axis_size(CANDIDATE_AXIS)
+                + jax.lax.axis_index(CANDIDATE_AXIS))
+        # device-unique combined key makes the winner unique, so the psum
+        # below has exactly one nonzero contributor (pop <= 4096 keeps
+        # this well inside int32)
+        combined = key[li] * n_dev + rank
+        gmin = jax.lax.pmin(combined, both)
+        champ_local = jnp.where(combined == gmin, best[li],
+                                jnp.zeros_like(best[li]))
+        champ = jax.lax.psum(champ_local, both)
+        champ_pop = gmin // n_dev
+        return found, best, pop, champ, champ_pop
+
+    bst_in = type(bst)(bst.state, bst.unknown, tuple(bst.ruled))
+    return run(bst_in)
+
+
+def sharded_rollout(boards, steps, mesh):
+    """Bit-exact Life rollout data-parallel over the whole mesh with a
+    psum population reduction: boards [B, 64, 2] sharded over both axes,
+    stepped ``steps`` generations in an on-device scan.  Returns
+    (final boards [B, 64, 2], global total population [])."""
+    from ..core import board as BRD
+    from ..core import step as S
+
+    both = (SCENARIO_AXIS, CANDIDATE_AXIS)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(both),),
+        out_specs=(P(both), P()),
+        check_vma=False,
+    )
+    def run(local):
+        final = S.step_n(local, steps)
+        local_pop = jnp.sum(BRD.population(final))
+        return final, jax.lax.psum(local_pop, both)
+
+    return run(boards)

@@ -321,47 +321,138 @@ def _beam_body(carry, minimise, seed=None):
     return (cur, active, best, best_pop, found, complete)
 
 
+def _beam_search_core(cur0, active0, best0, best_pop0, found0, seed, iters,
+                      minimise, use_seed=False):
+    """The jnp beam loop as a pure function (jit- and shard_map-
+    composable)."""
+    import jax
+    import jax.numpy as jnp
+
+    complete0 = jnp.ones(found0.shape, bool)
+    carry = (cur0, active0, best0, best_pop0, found0, complete0,
+             jnp.int32(0))
+
+    def cond(carry):
+        # early exit once every frontier is exhausted (all leaves
+        # harvested / pruned) — matches the DFS returning when its
+        # stack empties
+        active = carry[1]
+        it = carry[-1]
+        return jnp.any(active) & (it < iters)
+
+    def loop_body(carry):
+        *state, it = carry
+        out = _beam_body(tuple(state), minimise,
+                         seed=seed if use_seed else None)
+        return out + (it + 1,)
+
+    return jax.lax.while_loop(cond, loop_body, carry)[:-1]
+
+
+def beam_search_jnp(bst0, frontier, iters, minimise, seed=None):
+    """Pure-jnp batched beam search over packed BitStable problems —
+    composable under jit AND shard_map (the sharded solver path,
+    parallel/elite.sharded_beam_complete).  Returns jnp arrays
+    ``(found[B], best packed uint32[B, 64, 2], best_pop[B], proved[B])``."""
+    import jax.numpy as jnp
+
+    B = bst0.state.shape[0]
+    F = frontier
+    N = 64
+
+    def tile(x):
+        return jnp.broadcast_to(x[:, None], (B, F) + x.shape[1:])
+
+    from . import bitplane as BP
+
+    cur0 = BP.BitStable(
+        tile(bst0.state), tile(bst0.unknown),
+        tuple(tile(r) for r in bst0.ruled),
+    )
+    active0 = jnp.zeros((B, F), bool).at[:, 0].set(True)
+    best0 = jnp.zeros((B, N, 2), jnp.uint32)
+    best_pop0 = jnp.full((B,), jnp.iinfo(jnp.int32).max, jnp.int32)
+    found0 = jnp.zeros((B,), bool)
+    seed0 = (jnp.zeros((B, N, 2), jnp.uint32) if seed is None
+             else jnp.broadcast_to(seed, (B, N, 2)))
+    out = _beam_search_core(cur0, active0, best0, best_pop0, found0, seed0,
+                            iters, minimise, use_seed=seed is not None)
+    _, active, best, best_pop, found, complete = out
+    exhausted = ~jnp.any(active, axis=1)
+    proved = exhausted & complete & ~found
+    return found, best, best_pop, proved
+
+
 def _make_beam_runner():
     import functools
 
     import jax
 
-    @functools.partial(
+    return functools.partial(
         jax.jit, static_argnames=("iters", "minimise", "use_seed")
-    )
-    def run(cur0, active0, best0, best_pop0, found0, seed, iters, minimise,
-            use_seed=False):
-        import jax.numpy as jnp
-
-        complete0 = jnp.ones(found0.shape, bool)
-        carry = (cur0, active0, best0, best_pop0, found0, complete0,
-                 jnp.int32(0))
-
-        def cond(carry):
-            # early exit once every frontier is exhausted (all leaves
-            # harvested / pruned) — matches the DFS returning when its
-            # stack empties
-            active = carry[1]
-            it = carry[-1]
-            return jnp.any(active) & (it < iters)
-
-        def loop_body(carry):
-            *state, it = carry
-            out = _beam_body(tuple(state), minimise,
-                             seed=seed if use_seed else None)
-            return out + (it + 1,)
-
-        return jax.lax.while_loop(cond, loop_body, carry)[:-1]
-
-    return run
+    )(_beam_search_core)
 
 
 _BEAM_RUN = None
 
 
+def _fused_beam_run(stable_in, seed, *, F, iters, minimise, b_pad, lane_tile,
+                    interpret, dense, use_seed, needs_pack):
+    """Whole fused-beam pipeline — packing, padding, lane replication,
+    the search kernel, and result extraction — as ONE jittable function,
+    so a call is a single device dispatch (tunnel round trips around the
+    kernel used to cost ~9x the kernel itself)."""
+    import jax.numpy as jnp
+
+    from ..core import board as BRD
+    from ..ops import stable_pallas as SP
+    from . import bitplane as BP
+
+    bst0 = BP.from_dense_stable(stable_in) if needs_pack else stable_in
+    B = bst0.state.shape[0]
+    planes = SP._to_kernel_planes(bst0)
+    if use_seed:
+        planes = planes + (
+            jnp.transpose(seed[..., 0]), jnp.transpose(seed[..., 1])
+        )
+    if b_pad != B:
+        planes = tuple(jnp.pad(p, ((0, 0), (0, b_pad - B))) for p in planes)
+    L = b_pad * F
+    planes0 = tuple(jnp.repeat(p, F, axis=1) for p in planes)
+    seed_planes = planes0[20:] if use_seed else None
+    planes0 = planes0[:20]
+    lane = jnp.arange(L)
+    act = (lane % F == 0) & (lane < B * F)
+    active_row = jnp.broadcast_to(
+        jnp.where(act, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))[None, :],
+        (8, L),
+    )
+    best_lo, best_hi, best_pop_r, found_r, complete_r, active_any = (
+        SP.beam_search_planes(
+            planes0, active_row, F=F, iters=iters, minimise=minimise,
+            batch_tile=lane_tile, interpret=interpret,
+            seed_planes=seed_planes,
+        )
+    )
+    best = jnp.stack(
+        [jnp.transpose(best_lo[:, ::F]), jnp.transpose(best_hi[:, ::F])],
+        axis=-1,
+    )[:B]
+    best_out = BRD.to_dense(best) if dense else best
+    found = found_r[0, ::F][:B] != 0
+    complete = complete_r[0, ::F][:B] != 0
+    exhausted = active_any[0, ::F][:B] == 0
+    best_pop = best_pop_r[0, ::F][:B]
+    proved = exhausted & complete & ~found
+    return found, best_out, best_pop, proved
+
+
+_FUSED_BEAM_JIT = None
+
+
 def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
                          fused=None, interpret=False, dense=True,
-                         seed=None):
+                         seed=None, batch_tile=256):
     """Batched frontier search over ``[B]`` independent problems.
 
     Each problem keeps a frontier of up to ``frontier`` candidate partial
@@ -400,62 +491,42 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
 
     F = frontier
     N = 64
-    if hasattr(stable, "ruled") and isinstance(stable.ruled, tuple):
-        bst0 = stable
-    else:
-        bst0 = BP.from_dense_stable(stable)
-    B = bst0.state.shape[0]
+    needs_pack = not (
+        hasattr(stable, "ruled") and isinstance(stable.ruled, tuple)
+    )
+    B = stable.state.shape[0]
 
     if fused:
         # one pallas_call runs the ENTIRE search: the 10-plane frontier
         # stays in VMEM across rounds, and the harvest / branch / top-F
         # selection are in-kernel lane-group rotates
-        # (ops/stable_pallas.beam_search_planes)
-        from ..ops import stable_pallas as SP
-
+        # (ops/stable_pallas.beam_search_planes).  The surrounding
+        # packing/padding/extraction pipeline is jitted into the SAME
+        # dispatch (_fused_beam_run).
+        global _FUSED_BEAM_JIT
+        if _FUSED_BEAM_JIT is None:
+            _FUSED_BEAM_JIT = jax.jit(
+                _fused_beam_run,
+                static_argnames=("F", "iters", "minimise", "b_pad",
+                                 "lane_tile", "interpret", "dense",
+                                 "use_seed", "needs_pack"),
+            )
         flat = B * F
-        if flat >= 128:
-            step = 128 // F  # F is a power of two <= 16, so F | 128
+        if flat >= batch_tile:
+            step = batch_tile // F  # F is a power of two, F | batch_tile
             b_pad = -(-B // step) * step
-            lane_tile = 128
+            lane_tile = batch_tile
         else:
             b_pad, lane_tile = B, flat
-        planes = SP._to_kernel_planes(bst0)
-        if seed is not None:
-            planes = planes + (
-                jnp.transpose(seed[..., 0]), jnp.transpose(seed[..., 1])
-            )
-        if b_pad != B:
-            planes = tuple(
-                jnp.pad(p, ((0, 0), (0, b_pad - B))) for p in planes
-            )
-        L = b_pad * F
-        planes0 = tuple(jnp.repeat(p, F, axis=1) for p in planes)
-        seed_planes = planes0[20:] if seed is not None else None
-        planes0 = planes0[:20]
-        lane = jnp.arange(L)
-        act = (lane % F == 0) & (lane < B * F)
-        active_row = jnp.broadcast_to(
-            jnp.where(act, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))[None, :],
-            (8, L),
+        use_seed = seed is not None
+        seed_in = (jnp.zeros((B, 64, 2), jnp.uint32) if seed is None
+                   else jnp.broadcast_to(seed, (B, 64, 2)))
+        found, best_out, best_pop, proved = _FUSED_BEAM_JIT(
+            stable, seed_in, F=F, iters=iters,
+            minimise=minimise, b_pad=b_pad, lane_tile=lane_tile,
+            interpret=interpret, dense=dense, use_seed=use_seed,
+            needs_pack=needs_pack,
         )
-        best_lo, best_hi, best_pop_r, found_r, complete_r, active_any = (
-            SP.beam_search_planes(
-                planes0, active_row, F=F, iters=iters, minimise=minimise,
-                batch_tile=lane_tile, interpret=interpret,
-                seed_planes=seed_planes,
-            )
-        )
-        best = jnp.stack(
-            [jnp.transpose(best_lo[:, ::F]), jnp.transpose(best_hi[:, ::F])],
-            axis=-1,
-        )[:B]
-        best_out = BRD.to_dense(best) if dense else best
-        found = found_r[0, ::F][:B] != 0
-        complete = complete_r[0, ::F][:B] != 0
-        exhausted = active_any[0, ::F][:B] == 0
-        best_pop = best_pop_r[0, ::F][:B]
-        proved = exhausted & complete & ~found
         return BeamResult(
             np.asarray(found), np.asarray(best_out),
             np.asarray(best_pop), np.asarray(proved),
@@ -464,6 +535,8 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
     global _BEAM_RUN
     if _BEAM_RUN is None:
         _BEAM_RUN = _make_beam_runner()
+
+    bst0 = BP.from_dense_stable(stable) if needs_pack else stable
 
     def tile(x):
         return jnp.broadcast_to(x[:, None], (B, F) + x.shape[1:])
@@ -487,4 +560,85 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
     return BeamResult(
         np.asarray(found), np.asarray(best_out), np.asarray(best_pop),
         np.asarray(proved),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Single-hard-instance portfolio search
+# ---------------------------------------------------------------------------
+
+
+class PortfolioResult(NamedTuple):
+    found: bool
+    best: "np.ndarray"  # packed uint32[64, 2] (original orientation)
+    best_pop: int
+    found_fraction: float  # fraction of replicas that found a completion
+
+
+def _build_replicas(state, unknown, dx, dy):
+    """Replica boards for one instance: the 16 symmetry transforms cycled
+    over the replica axis, then per-replica random torus translations.
+    Jittable; returns packed [R, 64, 2] state/unknown."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..core import board as BRD
+    from ..symmetry import transforms as TR
+
+    R = dx.shape[0]
+    st16 = jnp.stack([TR.transform(state, t) for t in range(16)])
+    un16 = jnp.stack([TR.transform(unknown, t) for t in range(16)])
+    idx = jnp.arange(R) % 16
+    mover = jax.vmap(BRD.move)
+    return mover(st16[idx], dx, dy), mover(un16[idx], dx, dy)
+
+
+def complete_stable_portfolio(state, unknown, key, replicas=256, frontier=4,
+                              iters=192, minimise=True, fused=None,
+                              interpret=False):
+    """TPU-native answer to the reference's deep single-instance DFS
+    (LifeStable.hpp:1340-1412 with the strip kernels making one path
+    cheap): ONE hard completion problem searched by ``replicas``
+    randomized beam replicas in one batched kernel call.
+
+    Replica r solves the instance transformed by symmetry transform
+    ``r % 16`` composed with a random torus translation.  Life stability
+    is invariant under the D8 transforms and translations, so solutions
+    map back exactly; the packed lexicographic first-cell branch
+    heuristic sees a different coordinate order per replica, which makes
+    the replicas explore genuinely different branch sequences — the
+    portfolio equivalent of randomized DFS restarts.
+
+    ``state``/``unknown``: packed uint32[64, 2].  Returns the
+    back-transformed best completion over all replicas.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..core import board as BRD
+    from ..symmetry import transforms as TR
+    from . import bitplane as BP
+
+    kx, ky = jax.random.split(key)
+    dx = jax.random.randint(kx, (replicas,), 0, 64)
+    dy = jax.random.randint(ky, (replicas,), 0, 64)
+    st_r, un_r = jax.jit(_build_replicas)(state, unknown, dx, dy)
+    bst = BP.make(state=st_r, unknown=un_r)
+    res = complete_stable_beam(
+        bst, frontier=frontier, iters=iters, minimise=minimise,
+        fused=fused, interpret=interpret, dense=False,
+    )
+    found = np.asarray(res.found)
+    if not found.any():
+        return PortfolioResult(
+            False, np.zeros((64, 2), np.uint32), 0, 0.0
+        )
+    pops = np.where(found, np.asarray(res.best_pop), np.iinfo(np.int32).max)
+    i = int(np.argmin(pops))
+    # map the winning replica's board back to the original orientation
+    t = int(i % 16)
+    back = BRD.move(jnp.asarray(res.best[i]), -int(dx[i]), -int(dy[i]))
+    back = TR.transform(back, TR.transform_inverse(t))
+    return PortfolioResult(
+        True, np.asarray(back), int(pops[i]), float(found.mean())
     )

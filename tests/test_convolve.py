@@ -143,3 +143,33 @@ def test_dft_matches_fft_paths(rng):
         or_fft = np.asarray(convolve.convolve(a, b, method="fft"))
         or_dft = np.asarray(convolve.convolve(a, b, method="dft"))
         assert (or_fft == or_dft).all()
+
+
+def test_ntt_matches_brute_force(rng):
+    """The two-prime NTT path (the TPU default) is bit-exact BY
+    CONSTRUCTION (single-pass bf16 matmuls over integers <= 256 with f32
+    accumulation never exceed 2^24); verify against a brute-force numpy
+    convolution and the fft path, including the all-ones worst case
+    (every count = 4096, the CRT range maximum in play)."""
+    def brute(da, db):
+        out = np.zeros((64, 64), np.int32)
+        for x, y in zip(*np.nonzero(da)):
+            out += np.roll(np.roll(db, x, axis=0), y, axis=1)
+        return out
+
+    cases = []
+    for p in (0.05, 0.5):
+        cases.append((random_dense(rng, p=p, batch=(2,)),
+                      random_dense(rng, p=p, batch=(2,))))
+    ones = np.ones((1, 64, 64), bool)
+    cases.append((ones, ones))
+    for da, db in cases:
+        a = board.from_dense(jnp.asarray(da))
+        b = board.from_dense(jnp.asarray(db))
+        via_ntt = np.asarray(convolve.convolve_counts(a, b, method="ntt"))
+        via_fft = np.asarray(convolve.convolve_counts(a, b, method="fft"))
+        assert (via_ntt == via_fft).all()
+        expect = np.stack([brute(da[i], db[i]) for i in range(len(da))])
+        assert (via_ntt == expect).all()
+        or_ntt = np.asarray(convolve.convolve(a, b, method="ntt"))
+        assert (or_ntt == np.asarray(convolve.convolve(a, b, method="fft"))).all()

@@ -66,3 +66,45 @@ def test_sharded_scenario_sweep(mesh8):
     )
     assert per_scenario.shape == (8,)
     assert float(champion) == float(jnp.min(per_scenario))
+
+
+def test_sharded_beam_complete_matches_unsharded(mesh8):
+    from lifeapi_tpu.stable import bitplane as BP
+    from lifeapi_tpu.stable import complete as C
+
+    eater = board.move(rle.parse("2b2o$bobo$bo$2o!"), 20, 20)
+    hide = board.from_cells([(20, 20), (21, 20)])
+    unknown = (board.zoi(eater) & ~eater) | hide
+    B = 8
+    bst = BP.make(
+        state=jnp.broadcast_to(eater & ~hide, (B, 64, 2)),
+        unknown=jnp.broadcast_to(unknown, (B, 64, 2)),
+    )
+    found, best, pop, champ, champ_pop = elite.sharded_beam_complete(
+        bst, mesh8, frontier=4, iters=16, minimise=True
+    )
+    # identical problems on every shard must give identical verdicts, and
+    # they must match the unsharded jnp beam
+    ref_found, ref_best, ref_pop, _ = C.beam_search_jnp(
+        bst, frontier=4, iters=16, minimise=True
+    )
+    assert (np.asarray(found) == np.asarray(ref_found)).all()
+    assert (np.asarray(pop) == np.asarray(ref_pop)).all()
+    assert (np.asarray(best) == np.asarray(ref_best)).all()
+    # the champion exchange returns one of the found boards with its pop
+    assert np.asarray(found).all()
+    assert int(champ_pop) == int(np.asarray(ref_pop).min())
+    assert (np.asarray(champ) == np.asarray(ref_best)[0]).all()
+
+
+def test_sharded_rollout(mesh8):
+    from lifeapi_tpu.core import step as S
+
+    glider = board.move(rle.parse("bob$2bo$3o!"), 20, 20)
+    B = 16
+    boards = jnp.broadcast_to(glider, (B, 64, 2))
+    finals, total_pop = elite.sharded_rollout(boards, steps=6, mesh=mesh8)
+    expect = S.step_n(glider, 6)
+    assert (np.asarray(finals) == np.asarray(jnp.broadcast_to(
+        expect, (B, 64, 2)))).all()
+    assert int(total_pop) == 5 * B
