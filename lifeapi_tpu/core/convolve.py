@@ -181,9 +181,33 @@ def _conv_real(da, db, method=None):
     return jnp.fft.irfft2(fa * fb, s=(N, N), axes=(-2, -1))
 
 
+def _counts_fused(da, db):
+    """Dispatch to the fused Pallas NTT kernel (ops/conv_pallas): pad the
+    flattened batch to the tile size, run, slice."""
+    from ..ops import conv_pallas as CP
+
+    shape = jnp.broadcast_shapes(da.shape, db.shape)
+    da = jnp.broadcast_to(da, shape).reshape((-1,) + shape[-2:])
+    db = jnp.broadcast_to(db, shape).reshape((-1,) + shape[-2:])
+    B = da.shape[0]
+    nb = min(64, B)
+    pad = -B % nb
+    if pad:
+        da = jnp.concatenate([da, jnp.zeros((pad,) + shape[-2:], da.dtype)])
+        db = jnp.concatenate([db, jnp.zeros((pad,) + shape[-2:], db.dtype)])
+    out = CP.conv_counts_fused(da, db, nb=nb)
+    return out[:B].reshape(shape)
+
+
 def convolve_counts(a, b, method=None):
     """Circular convolution counts: int32[..., 64, 64] where entry (x, y) is
-    the number of pairs of ON cells (p in a, q in b) with p + q == (x, y)."""
+    the number of pairs of ON cells (p in a, q in b) with p + q == (x, y).
+    On TPU the default is the fused Pallas NTT kernel (bit-exact by
+    construction; see ops/conv_pallas)."""
+    if method is None and _prefer_ntt():
+        method = "ntt_fused"
+    if method == "ntt_fused":
+        return _counts_fused(to_dense(a), to_dense(b))
     conv = _conv_real(to_dense(a), to_dense(b), method)
     return jnp.round(conv).astype(jnp.int32)
 
@@ -191,6 +215,10 @@ def convolve_counts(a, b, method=None):
 def convolve(a, b, method=None):
     """OR-convolution (dilation of a by b), bit-identical to the reference
     ``LifeState::Convolve`` (LifeAPI.hpp:1293-1370)."""
+    if method is None and _prefer_ntt():
+        method = "ntt_fused"
+    if method == "ntt_fused":
+        return from_dense(_counts_fused(to_dense(a), to_dense(b)) > 0)
     conv = _conv_real(to_dense(a), to_dense(b), method)
     return from_dense(conv > 0.5)
 

@@ -161,6 +161,15 @@ def complete_stable(st: HostStable, timeout=1.0, minimise=False, use_seed=False,
 # ---------------------------------------------------------------------------
 
 
+def _np_to_dense(packed):
+    """Host-side packed uint32[..., 64, 2] -> dense bool[..., 64, 64]
+    (same bit order as core.board.to_dense; avoids an 8x larger device
+    readback)."""
+    shifts = np.arange(32, dtype=np.uint32)
+    bits = (packed[..., None] >> shifts) & np.uint32(1)
+    return bits.reshape(*packed.shape[:-2], 64, 64).astype(bool)
+
+
 class BeamResult(NamedTuple):
     found: "np.ndarray"  # bool[B]
     best: "np.ndarray"  # bool[B, 64, 64]
@@ -397,14 +406,14 @@ _BEAM_RUN = None
 
 
 def _fused_beam_run(stable_in, seed, *, F, iters, minimise, b_pad, lane_tile,
-                    interpret, dense, use_seed, needs_pack):
+                    interpret, use_seed, needs_pack):
     """Whole fused-beam pipeline — packing, padding, lane replication,
-    the search kernel, and result extraction — as ONE jittable function,
-    so a call is a single device dispatch (tunnel round trips around the
-    kernel used to cost ~9x the kernel itself)."""
+    the search kernel, and result extraction packed into ONE uint32
+    buffer — as ONE jittable function: a call is a single device
+    dispatch + a single readback (tunnel round trips around the kernel
+    used to cost ~9x the kernel itself)."""
     import jax.numpy as jnp
 
-    from ..core import board as BRD
     from ..ops import stable_pallas as SP
     from . import bitplane as BP
 
@@ -438,13 +447,22 @@ def _fused_beam_run(stable_in, seed, *, F, iters, minimise, b_pad, lane_tile,
         [jnp.transpose(best_lo[:, ::F]), jnp.transpose(best_hi[:, ::F])],
         axis=-1,
     )[:B]
-    best_out = BRD.to_dense(best) if dense else best
     found = found_r[0, ::F][:B] != 0
     complete = complete_r[0, ::F][:B] != 0
     exhausted = active_any[0, ::F][:B] == 0
     best_pop = best_pop_r[0, ::F][:B]
     proved = exhausted & complete & ~found
-    return found, best_out, best_pop, proved
+    # pack everything into ONE uint32 buffer: each np.asarray readback
+    # pays a full tunnel round trip, and there were four of them
+    return jnp.concatenate(
+        [
+            best.reshape(B, 128),
+            jnp.where(found, jnp.uint32(1), jnp.uint32(0))[:, None],
+            best_pop.astype(jnp.uint32)[:, None],
+            jnp.where(proved, jnp.uint32(1), jnp.uint32(0))[:, None],
+        ],
+        axis=1,
+    )
 
 
 _FUSED_BEAM_JIT = None
@@ -508,7 +526,7 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
             _FUSED_BEAM_JIT = jax.jit(
                 _fused_beam_run,
                 static_argnames=("F", "iters", "minimise", "b_pad",
-                                 "lane_tile", "interpret", "dense",
+                                 "lane_tile", "interpret",
                                  "use_seed", "needs_pack"),
             )
         flat = B * F
@@ -521,16 +539,18 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
         use_seed = seed is not None
         seed_in = (jnp.zeros((B, 64, 2), jnp.uint32) if seed is None
                    else jnp.broadcast_to(seed, (B, 64, 2)))
-        found, best_out, best_pop, proved = _FUSED_BEAM_JIT(
+        buf = np.asarray(_FUSED_BEAM_JIT(
             stable, seed_in, F=F, iters=iters,
             minimise=minimise, b_pad=b_pad, lane_tile=lane_tile,
-            interpret=interpret, dense=dense, use_seed=use_seed,
+            interpret=interpret, use_seed=use_seed,
             needs_pack=needs_pack,
-        )
-        return BeamResult(
-            np.asarray(found), np.asarray(best_out),
-            np.asarray(best_pop), np.asarray(proved),
-        )
+        ))  # one readback
+        best_packed = buf[:, :128].reshape(B, 64, 2)
+        found = buf[:, 128] != 0
+        best_pop = buf[:, 129].astype(np.int32)
+        proved = buf[:, 130] != 0
+        best_out = _np_to_dense(best_packed) if dense else best_packed
+        return BeamResult(found, best_out, best_pop, proved)
 
     global _BEAM_RUN
     if _BEAM_RUN is None:

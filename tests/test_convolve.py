@@ -173,3 +173,23 @@ def test_ntt_matches_brute_force(rng):
         assert (via_ntt == expect).all()
         or_ntt = np.asarray(convolve.convolve(a, b, method="ntt"))
         assert (or_ntt == np.asarray(convolve.convolve(a, b, method="fft"))).all()
+
+
+def test_fused_ntt_kernel_matches(rng):
+    """The fused Pallas NTT kernel (the actual TPU dispatch path) in
+    interpreter mode vs the fft path, odd batch + padding path + the
+    all-ones worst case."""
+    from lifeapi_tpu.ops import conv_pallas as CP
+
+    for p, B in ((0.1, 3), (0.5, 5)):
+        da = random_dense(rng, p=p, batch=(B,))
+        db = random_dense(rng, p=p, batch=(B,))
+        a = board.from_dense(jnp.asarray(da))
+        b = board.from_dense(jnp.asarray(db))
+        got = np.asarray(CP.conv_counts_fused(
+            jnp.asarray(da), jnp.asarray(db), nb=B, interpret=True))
+        exp = np.asarray(convolve.convolve_counts(a, b, method="fft"))
+        assert (got == exp).all()
+    ones = jnp.ones((2, 64, 64), bool)
+    got = np.asarray(CP.conv_counts_fused(ones, ones, nb=2, interpret=True))
+    assert (got == 4096).all()

@@ -192,3 +192,76 @@ def test_refined_equals_exact_when_fully_known():
     assert bool(board.is_empty(unstable).all())
     exact = life_step(cur)
     assert bool(jnp.all(board.equal(nxt_on, exact)))
+
+
+def test_reachability_bounds_sound_over_completions():
+    """mpc.reachability: for EVERY completion of the stable background,
+    the exact Hamming cost at the horizon must lie within the interval
+    rollout's [lower, upper] bounds."""
+    from lifeapi_tpu.mpc import reachability as RC
+    from lifeapi_tpu.target import LifeTarget, hamming_cost
+
+    eater = board.move(rle.parse("2b2o$bobo$bo$2o!"), 20, 20)
+    hide = board.from_cells([(22, 20), (23, 20)])
+    state = eater & ~hide
+    bst = BP.make(state=state, unknown=hide)
+    res = BP.propagate(BP.BitStable(bst.state[None], bst.unknown[None],
+                                    tuple(r[None] for r in bst.ruled)))
+    assert bool(res.consistent[0])
+    stable = BP.BitStable(res.stable.state[0], res.stable.unknown[0],
+                          tuple(r[0] for r in res.stable.ruled))
+
+    blinker = board.from_cells([(30, 30), (30, 31), (30, 32)])
+    target = LifeTarget.from_state(eater)
+    T = 4
+
+    cur = stable.state | blinker
+    on, unk, _ = RC.refined_rollout(cur, stable.unknown, stable, T)
+    lower, upper = RC.hamming_bounds(on, unk, target)
+
+    state_d = np.asarray(board.to_dense(state))
+    unk_d = np.asarray(board.to_dense(stable.unknown))
+    comps = _completions(
+        np.asarray(board.to_dense(stable.state)), unk_d
+    )
+    assert len(comps) >= 1
+    for full in comps:
+        cur_full = board.from_dense(jnp.asarray(
+            (np.asarray(board.to_dense(cur)) & ~unk_d) | (full & unk_d)
+        ))
+        b = cur_full
+        for _ in range(T):
+            b = life_step(b)
+        cost = int(hamming_cost(b, target))
+        assert int(lower) <= cost <= int(upper), (int(lower), cost, int(upper))
+
+
+def test_prune_candidates_keeps_reachable():
+    """prune_candidates must keep a candidate that provably recovers the
+    target and prune one whose wanted cells are certainly destroyed."""
+    from lifeapi_tpu.mpc import reachability as RC
+    from lifeapi_tpu.target import LifeTarget
+
+    eater = board.move(rle.parse("2b2o$bobo$bo$2o!"), 20, 20)
+    hide = board.from_cells([(22, 20)])
+    state = eater & ~hide
+    bst = BP.make(state=state, unknown=hide)
+    res = BP.propagate(BP.BitStable(bst.state[None], bst.unknown[None],
+                                    tuple(r[None] for r in bst.ruled)))
+    stable = BP.BitStable(res.stable.state[0], res.stable.unknown[0],
+                          tuple(r[0] for r in res.stable.ruled))
+    target = LifeTarget.from_state(eater)
+
+    quiet = stable.state  # nothing active: eater certainly survives
+    # a block slammed into the eater's face destroys it in every
+    # completion
+    smash = stable.state | board.from_cells(
+        [(20, 21), (20, 22), (21, 21), (21, 22)]
+    )
+    initials = jnp.stack([quiet, smash])
+    keep, lower, upper = RC.prune_candidates(
+        initials, stable, target, steps=4, max_cost=0
+    )
+    assert bool(keep[0]), (int(lower[0]), int(upper[0]))
+    assert int(upper[0]) == 0  # certainly recovers
+    assert not bool(keep[1])  # provably cannot have cost 0
