@@ -182,6 +182,44 @@ def bench_mpc(n_candidates=64, horizon=32, iters=100):
     }), flush=True)
 
 
+def bench_orbit(B=4096, M=4):
+    """Full 16-transform orbit sweep + on-device fingerprints, batched —
+    the packed bit-permutation transform pipeline (round-1 VERDICT: every
+    transform used to round-trip through dense 64x64 bools).  Unit = one
+    board's full 16-image orbit with per-image fingerprints."""
+    from lifeapi_tpu.symmetry import orbits as OR
+    from lifeapi_tpu.symmetry.transforms import ALL_TRANSFORMS, transform
+
+    rng = np.random.default_rng(0)
+    packed = jnp.asarray(
+        rng.integers(0, 2**32, size=(B, 64, 2), dtype=np.uint32)
+    )
+
+    @jax.jit
+    def run(boards):
+        def body(i, acc):
+            bi = jnp.roll(boards, i, axis=-2)
+            fps = [OR.fingerprint(transform(bi, t)) for t in ALL_TRANSFORMS]
+            h = jnp.uint32(0)
+            for f in fps:
+                for part in jax.tree_util.tree_leaves(f):
+                    h = h ^ part
+            return acc + jnp.sum(h, dtype=jnp.uint32)
+
+        return jax.lax.fori_loop(0, M, body, jnp.uint32(0))
+
+    dt = _timed(run, packed)
+    orbits_per_sec = B * M / dt
+    print(json.dumps({
+        "metric": "orbit_sweeps_per_sec",
+        "value": orbits_per_sec,
+        "unit": "orbits/s",
+        "vs_baseline": None,
+        "note": "16 packed transforms + fingerprints per orbit; no "
+                "reference benchmark exists for this path",
+    }), flush=True)
+
+
 def _mpc_problem(horizon=32):
     from lifeapi_tpu.core import board, rle
     from lifeapi_tpu.mpc import CostWeights, MPCProblem
@@ -289,6 +327,7 @@ _BENCHES = {
     "mpc_cem": bench_mpc_cem,
     "mpc_sqp": bench_mpc_sqp,
     "receding": bench_receding,
+    "orbit": bench_orbit,
 }
 
 
@@ -299,7 +338,7 @@ if __name__ == "__main__":
         if jax.default_backend() == "tpu":
             names.append("propagate_fused")
         names += ["beam", "convolve", "mpc", "mpc_cem", "mpc_sqp",
-                  "receding"]
+                  "receding", "orbit"]
     for name in names:
         print(f"# {name}", flush=True)
         _BENCHES[name]()

@@ -107,8 +107,11 @@ def _ntt_matrices():
 
 
 def _mod_p(x, p):
-    """Exact mod for integer-valued f32 arrays (values < 2^24)."""
-    q = jnp.floor(x / p)
+    """Exact mod for integer-valued f32 arrays (values < 2^24).
+    Reciprocal multiply instead of a true divide (the VPU divide is a
+    slow transcendental op): the quotient can be off by at most 1, and
+    the correction selects repair that exactly."""
+    q = jnp.floor(x * jnp.float32(1.0 / p))
     r = x - q * p
     r = jnp.where(r < 0, r + p, r)
     return jnp.where(r >= p, r - p, r)
