@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Solver-path sweeps on the chip: propagate-fixpoint lane tiles and
+end-to-end beam batch sizes.  One JSON line per config."""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def bench_fixpoint(B, tile, M=20):
+    from lifeapi_tpu.core import board, rle
+    from lifeapi_tpu.ops import stable_pallas as SP
+    from lifeapi_tpu.stable import bitplane as BP
+
+    eater = board.move(rle.parse("2b2o$bobo$bo$2o!"), 20, 20)
+    unknown = board.zoi(board.zoi(eater)) & ~eater
+    st = BP.make(
+        state=jnp.broadcast_to(eater, (B, 64, 2)),
+        unknown=jnp.broadcast_to(unknown, (B, 64, 2)),
+    )
+
+    @jax.jit
+    def run(st):
+        def body(i, acc):
+            sti = BP.BitStable(
+                jnp.roll(st.state, i, axis=-2),
+                jnp.roll(st.unknown, i, axis=-2),
+                st.ruled,
+            )
+            res = SP.propagate_fused_inkernel(sti, batch_tile=tile)
+            return acc + jnp.sum(res.stable.ruled[0])
+
+        return jax.lax.fori_loop(0, M, body, jnp.uint32(0))
+
+    out = run(st)
+    np.asarray(out)
+    t0 = time.perf_counter()
+    np.asarray(run(st))
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "config": f"fixpoint B={B} tile={tile}",
+        "fixpoints_per_sec": B * M / dt,
+        "vs_baseline": B * M / dt / 6.7e5,
+    }), flush=True)
+
+
+def bench_beam_e2e(B, F=4, iters=24, tile=256):
+    from lifeapi_tpu.core import board, rle
+    from lifeapi_tpu.stable import bitplane as BP
+    from lifeapi_tpu.stable import complete as C
+
+    eater = board.move(rle.parse("2b2o$bobo$bo$2o!"), 20, 20)
+    hide = board.from_cells([(20, 20), (21, 20)])
+    unknown = (board.zoi(eater) & ~eater) | hide
+    bst = BP.make(
+        state=jnp.broadcast_to(eater & ~hide, (B, 64, 2)),
+        unknown=jnp.broadcast_to(unknown, (B, 64, 2)),
+    )
+
+    def run():
+        return C.complete_stable_beam(
+            bst, frontier=F, iters=iters, minimise=True, dense=False,
+            batch_tile=tile,
+        )
+
+    res = run()
+    t0 = time.perf_counter()
+    res = run()
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "config": f"beam_e2e B={B} F={F} tile={tile}",
+        "solves_per_sec": B / dt,
+        "found": float(res.found.mean()),
+        "vs_baseline": B / dt / 3333.0,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    for tile in (128, 256):
+        bench_fixpoint(1024, tile)
+    bench_fixpoint(4096, 256)
+    for B in (4096, 8192):
+        bench_beam_e2e(B)

@@ -193,7 +193,7 @@ def _counts_fused(da, db):
     da = jnp.broadcast_to(da, shape).reshape((-1,) + shape[-2:])
     db = jnp.broadcast_to(db, shape).reshape((-1,) + shape[-2:])
     B = da.shape[0]
-    nb = min(64, B)
+    nb = min(32, B)
     pad = -B % nb
     if pad:
         da = jnp.concatenate([da, jnp.zeros((pad,) + shape[-2:], da.dtype)])

@@ -12,11 +12,15 @@ LifeAPI.hpp:1284-1370, OR-accumulated placements = counts > 0): primes
 — every matmul is a single MXU pass with exact f32 accumulation (row
 sums <= 64 * 256^2 < 2^24).
 
-Layout: boards enter dense bf16 [B, 64, 64] (bit-unpack is XLA-side,
-cheap and fusable), stacked row-wise per tile as [64*nb, 64] so every
-transform stage is ONE [64nb, 64] @ [64, 64] matmul; the corner turn
-between the y- and x-transforms is a per-board block transpose
-([nb, 64, 64] swapaxes).
+Layout (v2, prime-paired): TPU lanes are 128 wide and 64-wide arrays
+waste half of them, so the two primes ride side-by-side: every working
+array is [*, 128] with prime-1 residues in lanes 0-63 and prime-2 in
+64-127, and the twiddle matrices are block-diagonal [128, 128]
+(diag(W1, W2) — the off-diagonal zeros cost flops but buy full MXU
+occupancy and HALVE the op count: 4 wide matmuls + 4 wide mod
+reductions instead of 12 + 10 narrow ones).  Boards are stacked
+row-wise ([64*nb, 128]); the corner turn between the y- and x-
+transform stages is a per-board block transpose of each prime half.
 """
 
 from __future__ import annotations
@@ -25,13 +29,34 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.convolve import _NTT_PRIMES, _mod_p, _ntt_matrices
+from ..core.convolve import _NTT_PRIMES, _ntt_matrices
 
 F32 = jnp.float32
 BF16 = jnp.bfloat16
+
+_PAIR_MATS = None
+
+
+def _pair_matrices():
+    """Block-diagonal diag(W1, W2) / diag(V1, V2) bf16 [128, 128]
+    constants plus the per-lane prime / reciprocal vectors [1, 128]."""
+    global _PAIR_MATS
+    if _PAIR_MATS is None:
+        (W1, V1), (W2, V2) = _ntt_matrices()
+        W = np.zeros((128, 128), np.float32)
+        V = np.zeros((128, 128), np.float32)
+        W[:64, :64], W[64:, 64:] = W1, W2
+        V[:64, :64], V[64:, 64:] = V1, V2
+        p1, p2 = _NTT_PRIMES
+        pv = np.concatenate([np.full(64, p1, np.float32),
+                             np.full(64, p2, np.float32)])[None, :]
+        _PAIR_MATS = (W.astype(np.float32), V.astype(np.float32), pv,
+                      (1.0 / pv).astype(np.float32))
+    return _PAIR_MATS
 
 
 def _mm(x, w):
@@ -44,45 +69,59 @@ def _mm(x, w):
     )
 
 
-def _blockt(x, nb):
-    """Per-board corner turn: [64*nb, 64] -> [64*nb, 64] with each
-    board's 64x64 block transposed in place."""
-    return jnp.swapaxes(x.reshape(nb, 64, 64), 1, 2).reshape(nb * 64, 64)
+def _mod2(x, pv, rv):
+    """Per-lane exact mod (prime-paired lanes): reciprocal multiply +
+    correction — a true divide would hit the slow transcendental unit."""
+    q = jnp.floor(x * rv)
+    r = x - q * pv
+    r = jnp.where(r < 0, r + pv, r)
+    return jnp.where(r >= pv, r - pv, r)
 
 
-def _conv_kernel(a_ref, b_ref, *rest, nb):
-    w1_ref, v1_ref, w2_ref, v2_ref, out_ref = rest
+def _blockt2(x, nboards):
+    """Per-board corner turn of BOTH prime halves: [64*nboards, 128] ->
+    same shape with each board's per-prime 64x64 block transposed."""
+    h1 = jnp.swapaxes(x[:, :64].reshape(nboards, 64, 64), 1, 2)
+    h2 = jnp.swapaxes(x[:, 64:].reshape(nboards, 64, 64), 1, 2)
+    return jnp.concatenate(
+        [h1.reshape(nboards * 64, 64), h2.reshape(nboards * 64, 64)], axis=1
+    )
+
+
+def _conv_kernel(a_ref, b_ref, w_ref, v_ref, out_ref, *, nb):
     p1, p2 = _NTT_PRIMES
+    # per-lane prime vectors built in-kernel (a captured jnp constant is
+    # rejected by pallas_call)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    pv = jnp.where(lane < 64, jnp.float32(p1), jnp.float32(p2))
+    rv = jnp.where(lane < 64, jnp.float32(1.0 / p1), jnp.float32(1.0 / p2))
     xa = a_ref[:].reshape(nb * 64, 64)
     xb = b_ref[:].reshape(nb * 64, 64)
+    # both operands M-stacked, both primes lane-paired (data duplicated
+    # into each prime's lane block)
+    x = jnp.concatenate([xa, xb], axis=0)
+    x2 = jnp.concatenate([x, x], axis=1)
 
-    def one_prime(w, v, p):
-        # forward: y-transform, corner turn, x-transform (both operands
-        # M-stacked into one matmul per stage)
-        s1 = _mod_p(_mm(jnp.concatenate([xa, xb], axis=0), w), p)
-        s1t = jnp.concatenate(
-            [_blockt(s1[: nb * 64], nb), _blockt(s1[nb * 64:], nb)], axis=0
-        )
-        s2 = _mod_p(_mm(s1t, w), p)
-        fa, fb = s2[: nb * 64], s2[nb * 64:]
-        prod = _mod_p(fa * fb, p)
-        # inverse (input is in transposed orientation; the mid corner
-        # turn restores the original)
-        i1 = _mod_p(_mm(prod, v), p)
-        i2 = _mod_p(_mm(_blockt(i1, nb), v), p)
-        return i2
-
-    c1 = one_prime(w1_ref[:], v1_ref[:], p1)
-    c2 = one_prime(w2_ref[:], v2_ref[:], p2)
+    w = w_ref[:]
+    v = v_ref[:]
+    s1 = _mod2(_mm(x2, w), pv, rv)          # y-transform, both ops+primes
+    s2 = _mod2(_mm(_blockt2(s1, 2 * nb), w), pv, rv)   # x-transform
+    fa, fb = s2[: nb * 64], s2[nb * 64:]
+    prod = _mod2(fa * fb, pv, rv)
+    i1 = _mod2(_mm(prod, v), pv, rv)        # inverse x
+    i2 = _mod2(_mm(_blockt2(i1, nb), v), pv, rv)       # inverse y
     # CRT: counts = c1 + p1 * ((c2 - c1) * inv(p1) mod p2)
-    inv_p1 = pow(p1, p2 - 2, p2)
-    t = _mod_p((c2 - c1) * inv_p1, p2)
+    c1, c2 = i2[:, :64], i2[:, 64:]
+    p2v = pv[:, 64:]
+    r2v = rv[:, 64:]
+    inv_p1 = pow(_NTT_PRIMES[0], _NTT_PRIMES[1] - 2, _NTT_PRIMES[1])
+    t = _mod2((c2 - c1) * inv_p1, p2v, r2v)
     counts = c1 + p1 * t
     out_ref[:] = counts.astype(jnp.int32).reshape(nb, 64, 64)
 
 
 @functools.partial(jax.jit, static_argnames=("nb", "interpret"))
-def conv_counts_fused(da, db, nb=64, interpret=False):
+def conv_counts_fused(da, db, nb=32, interpret=False):
     """Exact circular-convolution counts of dense [B, 64, 64] boards in
     one fused kernel.  ``da``/``db``: bool or numeric (cast to bf16 —
     exact for 0/1 boards).  Returns int32 [B, 64, 64]."""
@@ -90,21 +129,20 @@ def conv_counts_fused(da, db, nb=64, interpret=False):
     nb = min(nb, B)
     assert B % nb == 0
     grid = (B // nb,)
-    (W1, V1), (W2, V2) = _ntt_matrices()
+    W, V, _, _ = _pair_matrices()
     spec = pl.BlockSpec((nb, 64, 64), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
-    wspec = pl.BlockSpec((64, 64), lambda i: (0, 0),
+    wspec = pl.BlockSpec((128, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_conv_kernel, nb=nb),
         out_shape=jax.ShapeDtypeStruct((B, 64, 64), jnp.int32),
         grid=grid,
-        in_specs=[spec, spec, wspec, wspec, wspec, wspec],
+        in_specs=[spec, spec, wspec, wspec],
         out_specs=spec,
         interpret=interpret,
     )(
         da.astype(BF16), db.astype(BF16),
-        jnp.asarray(W1, BF16), jnp.asarray(V1, BF16),
-        jnp.asarray(W2, BF16), jnp.asarray(V2, BF16),
+        jnp.asarray(W, BF16), jnp.asarray(V, BF16),
     )
     return out

@@ -152,10 +152,27 @@ class LifeStable:
         )
         return result, B.from_dense(jnp.asarray(best))
 
-    def complete_stable_beam(self, frontier=8, iters=192, minimise=True):
-        """Batched TPU beam completion; data must have a leading batch."""
+    def complete_stable_beam(self, frontier=8, iters=192, minimise=True,
+                             seed=None):
+        """Batched TPU beam completion; data must have a leading batch.
+        ``seed`` (packed) enables reference useSeed proximity branching."""
         return C.complete_stable_beam(
-            self.data, frontier=frontier, iters=iters, minimise=minimise
+            self.data, frontier=frontier, iters=iters, minimise=minimise,
+            seed=seed,
+        )
+
+    def complete_stable_portfolio(self, key, replicas=256, frontier=4,
+                                  iters=192, minimise=True):
+        """Single hard instance -> orbit-randomized beam replica portfolio
+        (stable/complete.complete_stable_portfolio)."""
+        d = self.data
+        assert d.state.ndim == 2, "portfolio searches ONE instance"
+        from ..core import board as BRD
+
+        return C.complete_stable_portfolio(
+            BRD.from_dense(d.state), BRD.from_dense(d.unknown), key,
+            replicas=replicas, frontier=frontier, iters=iters,
+            minimise=minimise,
         )
 
     # -- I/O ---------------------------------------------------------------

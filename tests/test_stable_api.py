@@ -68,3 +68,19 @@ def test_wrapper_jit_pytree():
 
     out, cons = f(st)
     assert bool(cons)
+
+
+def test_api_portfolio():
+    e = _eater()
+    hide = board.from_cells([(20, 20), (21, 20)])
+    st = LifeStable.from_boards(
+        state=e & ~hide, unknown=(board.zoi(e) & ~e) | hide
+    )
+    res = st.complete_stable_portfolio(
+        jax.random.key(0), replicas=16, frontier=4, iters=24
+    )
+    assert res.found
+    from lifeapi_tpu.core.step import step as life_step
+
+    b = jnp.asarray(res.best)
+    assert bool(board.equal(life_step(b), b))
