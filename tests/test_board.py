@@ -199,3 +199,30 @@ def test_populated_width(rng):
             longest_zero = max((len(s) for s in bits.split("1") if s), default=0)
             longest_zero = min(longest_zero, 64)
             assert got == 64 - longest_zero, bin(v)
+
+
+def test_buffer_around_batched():
+    """buffer_around: wrap-aware rect; batched (round-1 gap: raised
+    NotImplementedError on batches), empty -> full, oversize -> empty;
+    single-board result matches the direct solid_rect_xy construction."""
+    from lifeapi_tpu.core import rle
+
+    e = board.move(rle.parse("2b2o$bobo$bo$2o!"), 20, 20)
+    b = np.asarray(board.xy_bounds(e))
+    w, h = 10, 10
+    rw = w - int(b[2] - b[0] + 1)
+    rh = h - int(b[3] - b[1] + 1)
+    expect = board.solid_rect_xy(int(b[0]) - rw, int(b[1]) - rh,
+                                 int(b[2]) + rw, int(b[3]) + rh)
+    got = board.buffer_around(e, (w, h))
+    assert bool(board.equal(got, expect))
+
+    batch = jnp.stack([
+        e,
+        board.empty(),                       # -> full board
+        board.solid_rect_xy(0, 0, 20, 20),   # 21x21 > 10x10 -> empty
+    ])
+    out = board.buffer_around(batch, (w, h))
+    assert bool(board.equal(out[0], expect))
+    assert int(board.population(out[1])) == 64 * 64
+    assert bool(board.is_empty(out[2]))
