@@ -26,25 +26,42 @@ B = 4096
 M = 8
 
 
-def timed_loop(make_body, label):
-    @jax.jit
-    def run(a, b):
-        def body(i, acc):
-            ai = jnp.roll(a, i, axis=-2)
-            return acc + make_body(ai, b)
+def _time_once(run, a, b):
+    np.asarray(run(a, b))  # warm/compile
+    t0 = time.perf_counter()
+    np.asarray(run(a, b))
+    return time.perf_counter() - t0
 
-        return jax.lax.fori_loop(0, M, body, jnp.float32(0))
+
+def timed_loop(make_body, label, p=0.1, feedback=True):
+    """Device time per conv via M-DIFFERENCING: dt(M=9) - dt(M=1) over 8
+    iterations, removing dispatch/readback fixed costs.  ``feedback``
+    chains the output into the next input; otherwise the roll harness."""
+    def mk_run(M):
+        @jax.jit
+        def run(a, b):
+            if feedback:
+                def body(i, a):
+                    return make_body(a, b)
+
+                return jax.lax.fori_loop(0, M, body, a)
+
+            def body(i, acc):
+                return acc + jnp.sum(make_body(jnp.roll(a, i, axis=-2), b))
+
+            return jax.lax.fori_loop(0, M, body, jnp.float32(0))
+
+        return run
 
     rng = np.random.default_rng(0)
-    dense = jnp.asarray((rng.random((B, 64, 64)) < 0.1).astype(np.float32))
-    db = jnp.asarray((rng.random((B, 64, 64)) < 0.1).astype(np.float32))
-    out = run(dense, db)
-    np.asarray(out)
-    t0 = time.perf_counter()
-    np.asarray(run(dense, db))
-    dt = time.perf_counter() - t0
-    print(json.dumps({"variant": label, "conv_per_sec": B * M / dt,
-                      "vs_baseline": B * M / dt / 1e7}), flush=True)
+    dense = jnp.asarray((rng.random((B, 64, 64)) < p).astype(np.float32))
+    db = jnp.asarray((rng.random((B, 64, 64)) < p).astype(np.float32))
+    dt1 = _time_once(mk_run(1), dense, db)
+    dt9 = _time_once(mk_run(9), dense, db)
+    dt = max(dt9 - dt1, 1e-9) / 8
+    print(json.dumps({"variant": label, "conv_per_sec": B / dt,
+                      "per_iter_ms": dt * 1e3, "m1_ms": dt1 * 1e3,
+                      "vs_baseline": B / dt / 1e7}), flush=True)
 
 
 def _mm_only_kernel(a_ref, b_ref, w_ref, v_ref, out_ref, *, nb):
@@ -84,20 +101,26 @@ def mm_only(da, db, nb=32):
 
 
 def main():
-    for nb in (32, 64):
+    for fb in (True, False):
+        tag = "feedback" if fb else "roll"
         timed_loop(
-            lambda a, b, nb=nb: jnp.sum(
-                CP.conv_counts_fused(a, b, nb=nb), dtype=jnp.float32
-            ),
-            f"fused_paired nb={nb}",
+            lambda a, b: (
+                CP.conv_counts_fused(a, b, nb=64) > 0).astype(jnp.float32),
+            f"fused_paired nb=64 {tag}", feedback=fb,
         )
     timed_loop(
-        lambda a, b: jnp.sum(mm_only(a, b), dtype=jnp.float32),
-        "mm_only_probe nb=32",
+        lambda a, b: CP.conv_small_fused(
+            a, b, nb=64, out_or=True).astype(jnp.float32),
+        "small_single_prime nb=64 feedback", p=0.02,
     )
     timed_loop(
-        lambda a, b: jnp.sum(CV._conv_ntt(a, b), dtype=jnp.float32),
-        "xla_ntt",
+        lambda a, b: CP.conv_small_fused(
+            a, b, nb=128, out_or=True).astype(jnp.float32),
+        "small_single_prime nb=128 feedback", p=0.02,
+    )
+    timed_loop(
+        lambda a, b: (CV._conv_ntt(a, b) > 0).astype(jnp.float32),
+        "xla_ntt feedback",
     )
 
 

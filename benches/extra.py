@@ -36,7 +36,7 @@ def _timed(fn, *args):
     return time.perf_counter() - t0
 
 
-def bench_propagate(B=1024, M=20, fused=False):
+def bench_propagate(B=4096, M=20, fused=False):
     from lifeapi_tpu.core import board, rle
     from lifeapi_tpu.stable import bitplane as BP
 
@@ -80,7 +80,7 @@ def bench_propagate(B=1024, M=20, fused=False):
     }), flush=True)
 
 
-def bench_beam_complete(B=2048):
+def bench_beam_complete(B=8192):
     from lifeapi_tpu.core import board, rle
     from lifeapi_tpu.stable import complete as C
     from lifeapi_tpu.stable import propagate as P
@@ -132,15 +132,19 @@ def bench_convolve(B=4096, M=8):
         return board.from_dense(jnp.asarray(d))
 
     a, b = mk(), mk()
+    # the 7-cell operand b bounds every count by 7 < 193, so the
+    # single-prime fast path is exact for the whole feedback chain
+    small = jax.default_backend() == "tpu"
 
     @jax.jit
     def run(a, b):
-        def body(i, acc):
-            ai = jnp.roll(a, i, axis=-2)
-            res = CV.convolve(ai, b)
-            return acc + jnp.sum(res, dtype=jnp.uint32)
+        def body(i, a):
+            # the OR-convolution output feeds the next iteration: a true
+            # data dependency with no roll/gather (a dynamic jnp.roll of
+            # the batch used to dominate this harness)
+            return CV.convolve(a, b, small=small or None)
 
-        return jax.lax.fori_loop(0, M, body, jnp.uint32(0))
+        return jax.lax.fori_loop(0, M, body, a)
 
     dt = _timed(run, a, b)
     conv_per_sec = B * M / dt

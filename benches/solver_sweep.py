@@ -83,8 +83,14 @@ def bench_beam_e2e(B, F=4, iters=24, tile=256):
 
 
 if __name__ == "__main__":
-    for tile in (128, 256):
-        bench_fixpoint(1024, tile)
-    bench_fixpoint(4096, 256)
-    for B in (4096, 8192):
-        bench_beam_e2e(B)
+    import sys
+    if "fix2" in sys.argv:
+        bench_fixpoint(8192, 256)
+        bench_fixpoint(16384, 256)
+        bench_fixpoint(16384, 128)
+    else:
+        for tile in (128, 256):
+            bench_fixpoint(1024, tile)
+        bench_fixpoint(4096, 256)
+        for B in (4096, 8192):
+            bench_beam_e2e(B)

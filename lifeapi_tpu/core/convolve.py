@@ -215,10 +215,46 @@ def convolve_counts(a, b, method=None):
     return jnp.round(conv).astype(jnp.int32)
 
 
-def convolve(a, b, method=None):
+def _auto_small(*packed_boards):
+    """True when some CONCRETE (host-known) operand has population < 193
+    on every board — then all convolution counts are < 193 and the
+    single-prime fast path is exact.  Tracers (inside jit) are skipped:
+    the answer must be sound, never guessed."""
+    import jax
+
+    for p in packed_boards:
+        if isinstance(p, jax.core.Tracer):
+            continue
+        try:
+            pops = board_mod.population(p)
+            if int(jnp.max(pops)) < 193:
+                return True
+        except jax.errors.TracerArrayConversionError:
+            continue
+    return False
+
+
+def convolve(a, b, method=None, small=None):
     """OR-convolution (dilation of a by b), bit-identical to the reference
-    ``LifeState::Convolve`` (LifeAPI.hpp:1293-1370)."""
+    ``LifeState::Convolve`` (LifeAPI.hpp:1293-1370).
+
+    ``small=True`` asserts every count is < 193 (guaranteed when either
+    operand's population is < 193 — the whole Match/pattern family) and
+    takes the single-prime kernel: half the transform work and a uint8
+    result path.  ``small=None`` auto-enables it only when it can PROVE
+    the bound from a host-known operand."""
     if method is None and _prefer_ntt():
+        if small is None:
+            small = _auto_small(a, b)
+        if small:
+            from ..ops import conv_pallas as CP
+
+            da, db = to_dense(a), to_dense(b)
+            shape = jnp.broadcast_shapes(da.shape, db.shape)
+            da = jnp.broadcast_to(da, shape).reshape((-1,) + shape[-2:])
+            db = jnp.broadcast_to(db, shape).reshape((-1,) + shape[-2:])
+            out = CP.conv_small_fused(da, db, out_or=True)
+            return from_dense(out.reshape(shape) != 0)
         method = "ntt_fused"
     if method == "ntt_fused":
         return from_dense(_counts_fused(to_dense(a), to_dense(b)) > 0)
@@ -226,25 +262,40 @@ def convolve(a, b, method=None):
     return from_dense(conv > 0.5)
 
 
-def correlate_counts(state, pattern):
+def correlate_counts(state, pattern, small=None):
     """int32[..., 64, 64]: entry (dx, dy) counts ON cells of ``pattern``
     that land on ON cells of ``state`` when moved by (dx, dy).  Equals
-    ``convolve_counts(state, mirrored(pattern))``."""
+    ``convolve_counts(state, mirrored(pattern))``.  ``small=True``
+    asserts counts < 193 (true when pop(pattern) < 193) and uses the
+    single-prime fast kernel."""
+    if _prefer_ntt():
+        if small is None:
+            small = _auto_small(pattern)
+        if small:
+            from ..ops import conv_pallas as CP
+
+            da = to_dense(state)
+            db = to_dense(mirrored(pattern))
+            shape = jnp.broadcast_shapes(da.shape, db.shape)
+            da = jnp.broadcast_to(da, shape).reshape((-1,) + shape[-2:])
+            db = jnp.broadcast_to(db, shape).reshape((-1,) + shape[-2:])
+            out = CP.conv_small_fused(da, db, out_or=False)
+            return out.reshape(shape)
     return convolve_counts(state, mirrored(pattern))
 
 
-def match_live(state, live):
+def match_live(state, live, small=None):
     """Mask of translations (dx, dy) at which every ON cell of ``live`` is
     ON in ``state`` (reference ``MatchLive``, LifeAPI.hpp:427-430)."""
-    misses = correlate_counts(~state, live)
+    misses = correlate_counts(~state, live, small=small)
     return from_dense(misses == 0)
 
 
-def match_live_and_dead(state, live, dead):
+def match_live_and_dead(state, live, dead, small=None):
     """Translations at which ``live`` is fully ON and ``dead`` fully OFF in
     ``state`` (reference ``MatchLiveAndDead``, LifeAPI.hpp:432-435)."""
-    misses = correlate_counts(~state, live)
-    hits = correlate_counts(state, dead)
+    misses = correlate_counts(~state, live, small=small)
+    hits = correlate_counts(state, dead, small=small)
     return from_dense((misses == 0) & (hits == 0))
 
 

@@ -120,6 +120,96 @@ def _conv_kernel(a_ref, b_ref, w_ref, v_ref, out_ref, *, nb):
     out_ref[:] = counts.astype(jnp.int32).reshape(nb, 64, 64)
 
 
+_SMALL_MATS = None
+
+
+def _small_matrices():
+    """diag(W1, W1) / diag(V1, V1) for the single-prime fast path (two
+    DIFFERENT boards ride the two lane halves)."""
+    global _SMALL_MATS
+    if _SMALL_MATS is None:
+        (W1, V1), _ = _ntt_matrices()
+        W = np.zeros((128, 128), np.float32)
+        V = np.zeros((128, 128), np.float32)
+        W[:64, :64] = W[64:, 64:] = W1
+        V[:64, :64] = V[64:, 64:] = V1
+        _SMALL_MATS = (W, V)
+    return _SMALL_MATS
+
+
+def _conv_kernel_small(a_ref, b_ref, w_ref, v_ref, out_ref, *, nb, out_or):
+    """Single-prime (193) kernel, boards paired across the two lane
+    halves: half the transform work of the CRT kernel.  EXACT only when
+    every count < 193 (callers guarantee min(pop) < 193 — the
+    pattern-matching regime); then residue == count and the zero test is
+    exact."""
+    p = jnp.float32(_NTT_PRIMES[0])
+    r = jnp.float32(1.0 / _NTT_PRIMES[0])
+
+    def pair(ref):
+        # static-index slices of a reshaped view — a strided x[0::2]
+        # becomes a 3D gather, which Mosaic cannot lower
+        x4 = ref[:].reshape(nb // 2, 2, 64, 64)
+        even = x4[:, 0].reshape(nb // 2 * 64, 64)
+        odd = x4[:, 1].reshape(nb // 2 * 64, 64)
+        return jnp.concatenate([even, odd], axis=1)
+
+    x = jnp.concatenate([pair(a_ref), pair(b_ref)], axis=0)
+    w = w_ref[:]
+    v = v_ref[:]
+    s1 = _mod2(_mm(x, w), p, r)
+    s2 = _mod2(_mm(_blockt2(s1, nb), w), p, r)
+    half = nb // 2 * 64
+    prod = _mod2(s2[:half] * s2[half:], p, r)
+    i1 = _mod2(_mm(prod, v), p, r)
+    counts = _mod2(_mm(_blockt2(i1, nb // 2), v), p, r)
+    h1 = counts[:, :64].reshape(nb // 2, 64, 64)
+    h2 = counts[:, 64:].reshape(nb // 2, 64, 64)
+    full = jnp.stack([h1, h2], axis=1).reshape(nb, 64, 64)
+    if out_or:
+        out_ref[:] = (full > 0.5).astype(jnp.uint8)
+    else:
+        out_ref[:] = full.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "out_or", "interpret"))
+def conv_small_fused(da, db, nb=64, out_or=True, interpret=False):
+    """Single-prime fused convolution — EXACT iff every count < 193,
+    i.e. ``min(pop(a), pop(b)) < 193`` per board (true for the whole
+    Match / pattern family, where one operand is a small pattern).
+    ``out_or=True`` returns the OR-convolution as uint8 [B, 64, 64]
+    (the reference ``Convolve`` contract); otherwise int32 counts."""
+    B = da.shape[0]
+    nb = min(nb, B)
+    if nb % 2:
+        nb *= 2  # keep board pairs together; pad below
+    pad = -B % nb
+    if pad:
+        zeros = jnp.zeros((pad, 64, 64), da.dtype)
+        da = jnp.concatenate([da, zeros])
+        db = jnp.concatenate([db, zeros])
+    Bp = B + pad
+    grid = (Bp // nb,)
+    W, V = _small_matrices()
+    spec = pl.BlockSpec((nb, 64, 64), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((128, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    dtype = jnp.uint8 if out_or else jnp.int32
+    out = pl.pallas_call(
+        functools.partial(_conv_kernel_small, nb=nb, out_or=out_or),
+        out_shape=jax.ShapeDtypeStruct((Bp, 64, 64), dtype),
+        grid=grid,
+        in_specs=[spec, spec, wspec, wspec],
+        out_specs=spec,
+        interpret=interpret,
+    )(
+        da.astype(BF16), db.astype(BF16),
+        jnp.asarray(W, BF16), jnp.asarray(V, BF16),
+    )
+    return out[:B]
+
+
 @functools.partial(jax.jit, static_argnames=("nb", "interpret"))
 def conv_counts_fused(da, db, nb=32, interpret=False):
     """Exact circular-convolution counts of dense [B, 64, 64] boards in

@@ -193,3 +193,46 @@ def test_fused_ntt_kernel_matches(rng):
     ones = jnp.ones((2, 64, 64), bool)
     got = np.asarray(CP.conv_counts_fused(ones, ones, nb=2, interpret=True))
     assert (got == 4096).all()
+
+
+def test_small_fused_kernel_matches(rng):
+    """Single-prime board-paired kernel (pattern-family fast path) in
+    interpreter mode: exact counts and OR when counts < 193, odd batch
+    padding path included."""
+    from lifeapi_tpu.ops import conv_pallas as CP
+
+    for B in (3, 4):
+        da = random_dense(rng, p=0.04, batch=(B,))  # pops << 193
+        db = random_dense(rng, p=0.04, batch=(B,))
+        a = board.from_dense(jnp.asarray(da))
+        b = board.from_dense(jnp.asarray(db))
+        exp = np.asarray(convolve.convolve_counts(a, b, method="fft"))
+        got = np.asarray(CP.conv_small_fused(
+            jnp.asarray(da), jnp.asarray(db), nb=2, out_or=False,
+            interpret=True))
+        assert (got == exp).all()
+        got_or = np.asarray(CP.conv_small_fused(
+            jnp.asarray(da), jnp.asarray(db), nb=2, out_or=True,
+            interpret=True))
+        assert (got_or != 0).tolist() == (exp > 0).tolist()
+
+
+def test_auto_small_detection():
+    """_auto_small: proves the bound from host-known operands only."""
+    import jax
+
+    sparse = board.from_cells([(1, 1), (2, 2)])
+    dense_b = board.from_dense(jnp.ones((64, 64), bool))
+    assert convolve._auto_small(sparse)
+    assert convolve._auto_small(dense_b, sparse)  # either operand suffices
+    assert not convolve._auto_small(dense_b)
+
+    hit_inside = []
+
+    @jax.jit
+    def f(x):
+        hit_inside.append(convolve._auto_small(x))
+        return x
+
+    f(sparse)
+    assert hit_inside == [False]  # tracers are never guessed small
