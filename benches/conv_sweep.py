@@ -101,27 +101,19 @@ def mm_only(da, db, nb=32):
 
 
 def main():
-    for fb in (True, False):
-        tag = "feedback" if fb else "roll"
+    # roll harness only: a feedback-carried 67 MB fori loop is
+    # pathologically slow through this stack (m1 = 2.4 s fixed)
+    timed_loop(
+        lambda a, b: (
+            CP.conv_counts_fused(a, b, nb=64) > 0).astype(jnp.float32),
+        "fused_paired nb=64 uint8-in", feedback=False,
+    )
+    for nb in (64, 128):
         timed_loop(
-            lambda a, b: (
-                CP.conv_counts_fused(a, b, nb=64) > 0).astype(jnp.float32),
-            f"fused_paired nb=64 {tag}", feedback=fb,
+            lambda a, b, nb=nb: CP.conv_small_fused(
+                a, b, nb=nb, out_or=True).astype(jnp.float32),
+            f"small_single_prime nb={nb} uint8-in", p=0.02, feedback=False,
         )
-    timed_loop(
-        lambda a, b: CP.conv_small_fused(
-            a, b, nb=64, out_or=True).astype(jnp.float32),
-        "small_single_prime nb=64 feedback", p=0.02,
-    )
-    timed_loop(
-        lambda a, b: CP.conv_small_fused(
-            a, b, nb=128, out_or=True).astype(jnp.float32),
-        "small_single_prime nb=128 feedback", p=0.02,
-    )
-    timed_loop(
-        lambda a, b: (CV._conv_ntt(a, b) > 0).astype(jnp.float32),
-        "xla_ntt feedback",
-    )
 
 
 if __name__ == "__main__":

@@ -224,6 +224,61 @@ def bench_orbit(B=4096, M=4):
     }), flush=True)
 
 
+def bench_portfolio(replicas=1024, iters=192, include_dfs=True):
+    """Single-hard-instance portfolio vs the host DFS (round-1 VERDICT
+    'Done' criterion: beat host-DFS wall clock on a hard minimise
+    instance).  Instance: two far-apart anchor cells with an 80-cell
+    unknown area — the host DFS (reference CompleteStableStep recursion)
+    needs ~16 s on this container's CPU."""
+    from lifeapi_tpu.core import board
+    from lifeapi_tpu.stable import complete as C
+    from lifeapi_tpu.stable import host as H
+
+    anchors = [(20, 20), (23, 23)]
+    a = board.from_cells(anchors)
+    area = a
+    for _ in range(3):
+        area = board.zoi(area)
+    state = a
+    unknown = area & ~a
+
+    dfs_s = None
+    dfs_pop = None
+    if include_dfs:
+        state_d = np.asarray(board.to_dense(state))
+        unknown_d = np.asarray(board.to_dense(unknown))
+        hst = H.HostStable(state=state_d, unknown=unknown_d)
+        t0 = time.perf_counter()
+        r, best = C.complete_stable(hst, timeout=120.0, minimise=True)
+        dfs_s = time.perf_counter() - t0
+        dfs_pop = int(best.sum())
+
+    t0 = time.perf_counter()
+    res = C.complete_stable_portfolio(
+        state, unknown, jax.random.key(0), replicas=replicas,
+        frontier=4, iters=iters, minimise=True,
+    )
+    warm = time.perf_counter() - t0  # includes compile
+    t0 = time.perf_counter()
+    res = C.complete_stable_portfolio(
+        state, unknown, jax.random.key(1), replicas=replicas,
+        frontier=4, iters=iters, minimise=True,
+    )
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "portfolio_hard_instance_seconds",
+        "value": dt,
+        "unit": "s",
+        "vs_baseline": (dfs_s / dt) if dfs_s else None,
+        "found": bool(res.found),
+        "best_pop": int(res.best_pop),
+        "dfs_seconds": dfs_s,
+        "dfs_pop": dfs_pop,
+        "warm_seconds": warm,
+        "note": "vs_baseline = host-DFS wall clock / portfolio wall clock",
+    }), flush=True)
+
+
 def _mpc_problem(horizon=32):
     from lifeapi_tpu.core import board, rle
     from lifeapi_tpu.mpc import CostWeights, MPCProblem
@@ -332,6 +387,7 @@ _BENCHES = {
     "mpc_sqp": bench_mpc_sqp,
     "receding": bench_receding,
     "orbit": bench_orbit,
+    "portfolio": bench_portfolio,
 }
 
 

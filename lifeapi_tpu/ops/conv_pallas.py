@@ -204,7 +204,7 @@ def conv_small_fused(da, db, nb=64, out_or=True, interpret=False):
         out_specs=spec,
         interpret=interpret,
     )(
-        da.astype(BF16), db.astype(BF16),
+        da.astype(jnp.uint8), db.astype(jnp.uint8),
         jnp.asarray(W, BF16), jnp.asarray(V, BF16),
     )
     return out[:B]
@@ -232,7 +232,7 @@ def conv_counts_fused(da, db, nb=32, interpret=False):
         out_specs=spec,
         interpret=interpret,
     )(
-        da.astype(BF16), db.astype(BF16),
+        da.astype(jnp.uint8), db.astype(jnp.uint8),
         jnp.asarray(W, BF16), jnp.asarray(V, BF16),
     )
     return out
