@@ -133,21 +133,29 @@ def bench_convolve(B=4096, M=8):
 
     a, b = mk(), mk()
     # the 7-cell operand b bounds every count by 7 < 193, so the
-    # single-prime fast path is exact for the whole feedback chain
+    # single-prime fast path is exact for every rolled variant
     small = jax.default_backend() == "tpu"
 
-    @jax.jit
-    def run(a, b):
-        def body(i, a):
-            # the OR-convolution output feeds the next iteration: a true
-            # data dependency with no roll/gather (a dynamic jnp.roll of
-            # the batch used to dominate this harness)
-            return CV.convolve(a, b, small=small or None)
+    def mk_run(reps):
+        @jax.jit
+        def run(a, b):
+            def body(i, acc):
+                # roll the PACKED boards (2 MB) to defeat CSE; a dense
+                # roll or a feedback-carried dense chain both distort
+                # this harness badly (BENCH_NOTES)
+                ai = jnp.roll(a, i, axis=-2)
+                res = CV.convolve(ai, b, small=small or None)
+                return acc + jnp.sum(res, dtype=jnp.uint32)
 
-        return jax.lax.fori_loop(0, M, body, a)
+            return jax.lax.fori_loop(0, reps, body, jnp.uint32(0))
 
-    dt = _timed(run, a, b)
-    conv_per_sec = B * M / dt
+        return run
+
+    # M-differencing removes the fixed dispatch/readback cost
+    dt1 = _timed(mk_run(1), a, b)
+    dt9 = _timed(mk_run(M + 1), a, b)
+    dt = max(dt9 - dt1, 1e-9) / M
+    conv_per_sec = B / dt
     print(json.dumps({
         "metric": "convolve_per_sec",
         "value": conv_per_sec,

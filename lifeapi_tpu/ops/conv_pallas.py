@@ -167,7 +167,7 @@ def _conv_kernel_small(a_ref, b_ref, w_ref, v_ref, out_ref, *, nb, out_or):
     h2 = counts[:, 64:].reshape(nb // 2, 64, 64)
     full = jnp.stack([h1, h2], axis=1).reshape(nb, 64, 64)
     if out_or:
-        out_ref[:] = (full > 0.5).astype(jnp.uint8)
+        out_ref[:] = (full > 0.5).astype(jnp.int8)
     else:
         out_ref[:] = full.astype(jnp.int32)
 
@@ -177,8 +177,11 @@ def conv_small_fused(da, db, nb=64, out_or=True, interpret=False):
     """Single-prime fused convolution — EXACT iff every count < 193,
     i.e. ``min(pop(a), pop(b)) < 193`` per board (true for the whole
     Match / pattern family, where one operand is a small pattern).
-    ``out_or=True`` returns the OR-convolution as uint8 [B, 64, 64]
-    (the reference ``Convolve`` contract); otherwise int32 counts."""
+    ``out_or=True`` returns the OR-convolution as int8 [B, 64, 64]
+    (the reference ``Convolve`` contract); otherwise int32 counts.
+    Inputs ride HBM as int8 and are cast in-kernel (Mosaic supports
+    signed-int -> float casts only; an XLA-side bf16 cast would
+    materialize 2x33 MB per call)."""
     B = da.shape[0]
     nb = min(nb, B)
     if nb % 2:
@@ -195,7 +198,7 @@ def conv_small_fused(da, db, nb=64, out_or=True, interpret=False):
                         memory_space=pltpu.VMEM)
     wspec = pl.BlockSpec((128, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
-    dtype = jnp.uint8 if out_or else jnp.int32
+    dtype = jnp.int8 if out_or else jnp.int32
     out = pl.pallas_call(
         functools.partial(_conv_kernel_small, nb=nb, out_or=out_or),
         out_shape=jax.ShapeDtypeStruct((Bp, 64, 64), dtype),
@@ -204,7 +207,7 @@ def conv_small_fused(da, db, nb=64, out_or=True, interpret=False):
         out_specs=spec,
         interpret=interpret,
     )(
-        da.astype(jnp.uint8), db.astype(jnp.uint8),
+        da.astype(jnp.int8), db.astype(jnp.int8),
         jnp.asarray(W, BF16), jnp.asarray(V, BF16),
     )
     return out[:B]
@@ -232,7 +235,7 @@ def conv_counts_fused(da, db, nb=32, interpret=False):
         out_specs=spec,
         interpret=interpret,
     )(
-        da.astype(jnp.uint8), db.astype(jnp.uint8),
+        da.astype(jnp.int8), db.astype(jnp.int8),
         jnp.asarray(W, BF16), jnp.asarray(V, BF16),
     )
     return out
