@@ -400,27 +400,42 @@ def populated_rows(board):
     return jnp.concatenate([bits_lo, bits_hi], axis=-1)
 
 
-def _centered_margins(populated):
-    """Given bool[..., 64] in coordinate order, return (first, last) indices
-    of the populated window in *centered* order (coords -32..31), or (-1, -1)
-    if empty.  Centered order index i corresponds to coordinate i - 32,
-    i.e. raw coordinate (i + 32) % 64."""
-    centered = jnp.roll(populated, 32, axis=-1)
-    any_pop = jnp.any(centered, axis=-1)
-    idx = jnp.arange(N)
-    first = jnp.min(jnp.where(centered, idx, N), axis=-1)
-    last = jnp.max(jnp.where(centered, idx, -1), axis=-1)
-    first = jnp.where(any_pop, first - 32, -1)
-    last = jnp.where(any_pop, last - 32, -1)
-    return first, last
+def _circular_margins(populated):
+    """Given bool[..., 64] in raw coordinate order, return (first, last) of
+    the tightest CIRCULAR populated window, or (-1, -1) if empty.  The
+    window starts just past the longest circular run of empty entries, so
+    it is wrap-seam-safe; ``first`` is normalized to centered coords
+    [-32, 31] and ``last = first + width - 1`` may exceed 31 when the
+    window straddles the centered seam.  Jittable, batched; ties in the
+    longest empty run break to the lowest start index."""
+    z = (~populated).astype(jnp.int32)
+    run = z  # zero-run length starting at i, capped at 2^k per stage
+    for k in (1, 2, 4, 8, 16, 32):
+        run = jnp.where(run == k, run + jnp.roll(run, -k, axis=-1), run)
+        run = jnp.minimum(run, 2 * k)
+    gap_len = jnp.max(run, axis=-1)
+    gap_start = jnp.argmax(run, axis=-1).astype(jnp.int32)
+    width = N - gap_len
+    first_raw = (gap_start + gap_len) % N
+    first = ((first_raw + 32) % N) - 32
+    last = first + width - 1
+    first = jnp.where(gap_len == 0, -32, first)  # fully-populated axis
+    last = jnp.where(gap_len == 0, 31, last)
+    any_pop = jnp.any(populated, axis=-1)
+    return jnp.where(any_pop, first, -1), jnp.where(any_pop, last, -1)
 
 
 def xy_bounds(board):
-    """[x0, y0, x1, y1] bounding box in centered coords [-32, 31], or all -1
-    if empty (reference ``XYBounds``, LifeAPI.hpp:446-484).  Assumes the
-    pattern does not straddle the wrap seam, like the reference."""
-    x0, x1 = _centered_margins(populated_columns(board))
-    y0, y1 = _centered_margins(populated_rows(board))
+    """[x0, y0, x1, y1] tightest wrap-aware bounding box, or all -1 if
+    empty (reference ``XYBounds``, LifeAPI.hpp:446-484).  Unlike the
+    reference, this is wrap-seam-safe: the box is the complement of the
+    longest circular run of empty columns/rows, so patterns straddling
+    either the raw seam or the centered seam get their true box.  (x0, y0)
+    lies in centered coords [-32, 31]; x1/y1 = x0/y0 + extent - 1 and may
+    exceed 31 for straddling patterns — ``move(b, -x0, -y0)`` normalizes
+    any pattern to the origin either way."""
+    x0, x1 = _circular_margins(populated_columns(board))
+    y0, y1 = _circular_margins(populated_rows(board))
     return jnp.stack([x0, y0, x1, y1], axis=-1)
 
 

@@ -110,6 +110,33 @@ def test_xy_bounds_and_width_height():
     assert np.asarray(board.xy_bounds(board.empty())).tolist() == [-1] * 4
 
 
+def test_xy_bounds_wrap_seam():
+    """xy_bounds is wrap-seam-safe (round-1 VERDICT: octo_hash/orbit
+    re-anchoring silently assumed non-straddling patterns)."""
+    # raw-seam straddle: x in {62, 63, 0, 1} -> box starts at centered -2
+    p = board.from_cells([(62, 5), (63, 5), (0, 5), (1, 5)])
+    assert np.asarray(board.xy_bounds(p)).tolist() == [-2, 5, 1, 5]
+    # centered-seam straddle: x in 30..33 -> x1 exceeds 31 by contract
+    p = board.from_cells([(30, 5), (31, 5), (32, 5), (33, 5)])
+    assert np.asarray(board.xy_bounds(p)).tolist() == [30, 5, 33, 5]
+    # fully-populated axis canonicalizes to [-32, 31]
+    p = board.from_cells([(x, 7) for x in range(64)])
+    assert np.asarray(board.xy_bounds(p)).tolist() == [-32, 7, 31, 7]
+    # batched boards get per-board results
+    b = jnp.stack([board.from_cells([(62, 5), (0, 5)]),
+                   board.from_cells([(3, 3)])])
+    assert np.asarray(board.xy_bounds(b)).tolist() == [
+        [-2, 5, 0, 5], [3, 3, 3, 3]]
+    # move(b, -x0, -y0) therefore anchors any translate identically:
+    # octo_hash becomes translation-invariant even across the seam
+    from lifeapi_tpu.symmetry import orbits
+
+    base = board.from_cells([(1, 1), (2, 1), (1, 2), (3, 3)])
+    moved = board.move(base, 61, 62)  # straddles both axes
+    assert orbits.octo_hash(base) == orbits.octo_hash(moved)
+    assert orbits.canonical_hash(base) == orbits.canonical_hash(moved)
+
+
 def test_first_on_and_cells():
     p = board.from_cells([(5, 7), (3, 60), (3, 2)])
     xy = np.asarray(board.first_on(p))
