@@ -234,15 +234,65 @@ def _auto_small(*packed_boards):
     return False
 
 
+_SPARSE_MAX_CELLS = 48
+
+
+def _host_cells(packed):
+    """ON cells of a CONCRETE single (unbatched) packed board, or None.
+    Concrete means host-known: an explicit array argument, or a constant
+    closed over inside a jit trace (patterns usually are) — never a
+    tracer."""
+    import jax
+
+    if isinstance(packed, jax.core.Tracer) or packed.ndim != 2:
+        return None
+    import numpy as np
+
+    # unpack in pure numpy: np.asarray on a CONCRETE array works even
+    # inside a jit trace, whereas jnp ops there would be staged to tracers
+    arr = np.asarray(packed, dtype=np.uint32)  # [64, 2]
+    bits = (arr[..., None] >> np.arange(32, dtype=np.uint32)) & 1
+    dense = bits.reshape(64, 64).astype(bool)  # [x, y]
+    xs, ys = np.nonzero(dense)
+    return list(zip(xs.tolist(), ys.tolist()))
+
+
+def convolve_sparse(a, cells):
+    """OR-convolution of ``a`` with a host-known cell list: the OR of
+    ``a`` translated by each cell.  This is the TPU analog of the
+    reference's run-decomposition ``Convolve`` (LifeAPI.hpp:1284-1370):
+    cost scales with the operand's population, everything stays in the
+    packed uint32 layout (512 B/board, ~20 VPU word-ops per cell — no
+    dense 64x64 materialization, no transform)."""
+    out = None
+    for x, y in cells:
+        m = board_mod.move(a, int(x), int(y))
+        out = m if out is None else out | m
+    return jnp.zeros_like(a) if out is None else out
+
+
 def convolve(a, b, method=None, small=None):
     """OR-convolution (dilation of a by b), bit-identical to the reference
     ``LifeState::Convolve`` (LifeAPI.hpp:1293-1370).
+
+    When either operand is host-known (including jit-closed-over
+    constants) with population <= 48, the shift-OR sparse path is taken:
+    like the reference's run decomposition it exploits operand sparsity,
+    but as packed-word translations instead of scalar runs.  Otherwise
+    the dense paths below apply.
 
     ``small=True`` asserts every count is < 193 (guaranteed when either
     operand's population is < 193 — the whole Match/pattern family) and
     takes the single-prime kernel: half the transform work and a uint8
     result path.  ``small=None`` auto-enables it only when it can PROVE
     the bound from a host-known operand."""
+    if method is None:
+        cells = _host_cells(b)
+        if cells is not None and len(cells) <= _SPARSE_MAX_CELLS:
+            return convolve_sparse(a, cells)
+        cells = _host_cells(a)
+        if cells is not None and len(cells) <= _SPARSE_MAX_CELLS:
+            return convolve_sparse(b, cells)  # convolution commutes
     if method is None and _prefer_ntt():
         if small is None:
             small = _auto_small(a, b)

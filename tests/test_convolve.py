@@ -19,6 +19,27 @@ def test_convolve_matches_dilation(rng):
     assert (got == expect).all()
 
 
+def test_convolve_sparse_path(rng):
+    """The shift-OR sparse path (host-known small operand) is bit-identical
+    to the dense transform path, batched, commuted, and under jit with a
+    closed-over pattern; operands above the cell cap fall through."""
+    import jax
+
+    a = board.from_dense(jnp.asarray(random_dense(rng, batch=(4,), p=0.2)))
+    cells = [(62, 1), (0, 5), (7, 63), (31, 32), (33, 30)]
+    b = board.from_cells(cells)
+    ref = convolve.convolve(a, b, method="fft")
+    assert bool(jnp.all(ref == convolve.convolve_sparse(a, cells)))
+    assert bool(jnp.all(ref == convolve.convolve(a, b)))
+    assert bool(jnp.all(ref == convolve.convolve(b, a)))  # commuted
+    jitted = jax.jit(lambda x: convolve.convolve(x, b))
+    assert bool(jnp.all(ref == jitted(a)))
+    # dense (population > cap) concrete operand: falls through, same result
+    big = board.from_dense(jnp.asarray(random_dense(rng, p=0.5)))
+    ref2 = convolve.convolve(a, big, method="fft")
+    assert bool(jnp.all(ref2 == convolve.convolve(a, big)))
+
+
 def test_convolve_counts(rng):
     a = board.from_cells([(0, 0), (1, 0)])
     b = board.from_cells([(0, 0), (1, 0)])
