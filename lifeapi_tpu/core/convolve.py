@@ -334,9 +334,28 @@ def correlate_counts(state, pattern, small=None):
     return convolve_counts(state, mirrored(pattern))
 
 
+def match_sparse(state, cells, invert=False):
+    """Translations at which every cell of ``cells`` lands on an ON
+    (``invert=False``) or OFF cell of ``state``: the AND of ``state``
+    (or its complement) translated by each -cell.  Pure packed-word
+    bitops — with host-known patterns the whole Match family needs no
+    transform at all.  An empty cell list matches every translation."""
+    src = ~state if invert else state
+    out = None
+    for x, y in cells:
+        m = board_mod.move(src, -int(x), -int(y))
+        out = m if out is None else out & m
+    return ~jnp.zeros_like(state) if out is None else out
+
+
 def match_live(state, live, small=None):
     """Mask of translations (dx, dy) at which every ON cell of ``live`` is
-    ON in ``state`` (reference ``MatchLive``, LifeAPI.hpp:427-430)."""
+    ON in ``state`` (reference ``MatchLive``, LifeAPI.hpp:427-430).  With
+    a host-known small ``live`` this is a shift-AND over packed words (the
+    sparse path); otherwise a correlation."""
+    cells = _host_cells(live)
+    if cells is not None and len(cells) <= _SPARSE_MAX_CELLS:
+        return match_sparse(state, cells)
     misses = correlate_counts(~state, live, small=small)
     return from_dense(misses == 0)
 
@@ -344,6 +363,12 @@ def match_live(state, live, small=None):
 def match_live_and_dead(state, live, dead, small=None):
     """Translations at which ``live`` is fully ON and ``dead`` fully OFF in
     ``state`` (reference ``MatchLiveAndDead``, LifeAPI.hpp:432-435)."""
+    lcells = _host_cells(live)
+    dcells = _host_cells(dead)
+    if (lcells is not None and dcells is not None
+            and len(lcells) + len(dcells) <= 2 * _SPARSE_MAX_CELLS):
+        return match_sparse(state, lcells) & match_sparse(
+            state, dcells, invert=True)
     misses = correlate_counts(~state, live, small=small)
     hits = correlate_counts(state, dead, small=small)
     return from_dense((misses == 0) & (hits == 0))

@@ -40,6 +40,23 @@ def test_convolve_sparse_path(rng):
     assert bool(jnp.all(ref2 == convolve.convolve(a, big)))
 
 
+def test_match_sparse_path(rng):
+    """match_live / match_live_and_dead with host-known patterns take the
+    shift-AND sparse path; it must agree with the correlation path."""
+    state = board.from_dense(jnp.asarray(random_dense(rng, batch=(3,), p=0.35)))
+    live = board.from_cells([(0, 0), (1, 0), (0, 1), (2, 1), (62, 63)])
+    dead = board.from_cells([(3, 3), (63, 0), (1, 63)])
+    ref = board.from_dense(convolve.correlate_counts(~state, live) == 0)
+    assert bool(jnp.all(ref == convolve.match_live(state, live)))
+    ref2 = ref & board.from_dense(
+        convolve.correlate_counts(state, dead) == 0)
+    assert bool(jnp.all(
+        ref2 == convolve.match_live_and_dead(state, live, dead)))
+    # empty pattern matches every translation
+    assert bool(jnp.all(
+        convolve.match_live(state, board.empty()) == jnp.uint32(0xFFFFFFFF)))
+
+
 def test_convolve_counts(rng):
     a = board.from_cells([(0, 0), (1, 0)])
     b = board.from_cells([(0, 0), (1, 0)])
