@@ -146,6 +146,10 @@ def _conv_kernel_small(a_ref, b_ref, w_ref, v_ref, out_ref, *, nb, out_or):
     p = jnp.float32(_NTT_PRIMES[0])
     r = jnp.float32(1.0 / _NTT_PRIMES[0])
 
+    # Tuned on v5e (benches/conv_sweep.py): tile nb=128 reaches 1.335e7
+    # conv/s (3.3x over nb=64) — matmul rows per block double and the
+    # per-block mod/turn overhead amortizes; nb=128 stages fit VMEM
+    # (s1/s2 are [8192, 128] f32 = 4.2 MB each).
     def pair(ref):
         # static-index slices of a reshaped view — a strided x[0::2]
         # becomes a 3D gather, which Mosaic cannot lower
@@ -173,7 +177,7 @@ def _conv_kernel_small(a_ref, b_ref, w_ref, v_ref, out_ref, *, nb, out_or):
 
 
 @functools.partial(jax.jit, static_argnames=("nb", "out_or", "interpret"))
-def conv_small_fused(da, db, nb=64, out_or=True, interpret=False):
+def conv_small_fused(da, db, nb=128, out_or=True, interpret=False):
     """Single-prime fused convolution — EXACT iff every count < 193,
     i.e. ``min(pop(a), pop(b)) < 193`` per board (true for the whole
     Match / pattern family, where one operand is a small pattern).
