@@ -299,12 +299,13 @@ def convolve(a, b, method=None, small=None):
         if small:
             from ..ops import conv_pallas as CP
 
-            da, db = to_dense(a), to_dense(b)
-            shape = jnp.broadcast_shapes(da.shape, db.shape)
-            da = jnp.broadcast_to(da, shape).reshape((-1,) + shape[-2:])
-            db = jnp.broadcast_to(db, shape).reshape((-1,) + shape[-2:])
-            out = CP.conv_small_fused(da, db, out_or=True)
-            return from_dense(out.reshape(shape) != 0)
+            shape = jnp.broadcast_shapes(a.shape, b.shape)
+            pa = jnp.broadcast_to(a, shape).reshape((-1, 64, 2))
+            pb = jnp.broadcast_to(b, shape).reshape((-1, 64, 2))
+            # fully-packed kernel: uint32 in/out, no dense
+            # materialization on either side
+            out = CP.conv_small_packed(pa, pb)
+            return out.reshape(shape)
         method = "ntt_fused"
     if method == "ntt_fused":
         return from_dense(_counts_fused(to_dense(a), to_dense(b)) > 0)

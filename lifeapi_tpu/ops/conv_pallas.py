@@ -217,6 +217,113 @@ def conv_small_fused(da, db, nb=128, out_or=True, interpret=False):
     return out[:B]
 
 
+def _unpack_pair(ref, nb):
+    """packed uint32[nb, 64, 2] -> pair-layout bf16 [nb/2*64, 128]:
+    row (p, x), lanes 0-63 = board 2p's y (lo word then hi), lanes
+    64-127 = board 2p+1.  In-kernel bit expansion: the packed input is
+    512 B/board vs 16 KB dense, so HBM traffic (and the XLA-side
+    to_dense materialization) disappears."""
+    x4 = ref[:].reshape(nb // 2, 2, 64, 2)
+    iota32 = jax.lax.broadcasted_iota(jnp.uint32, (1, 32), 1)
+
+    def bits(w):  # [nb/2, 64] uint32 -> [nb/2*64, 32] bits
+        col = w.reshape(nb // 2 * 64, 1)
+        b = (col >> iota32) & jnp.uint32(1)
+        # Mosaic has no uint32 -> bf16 cast; go via int32 (values are 0/1)
+        return b.astype(jnp.int32).astype(BF16)
+
+    return jnp.concatenate(
+        [bits(x4[:, 0, :, 0]), bits(x4[:, 0, :, 1]),
+         bits(x4[:, 1, :, 0]), bits(x4[:, 1, :, 1])], axis=1)
+
+
+_BYTE_PACK = None
+
+
+def _byte_pack_matrix():
+    """[128, 128] bf16: column 8k+j accumulates lanes 8k..8k+7 with
+    weights 2^0..2^7 into byte k of the packed result (exact in f32:
+    values <= 255); only the first 16 columns are used."""
+    global _BYTE_PACK
+    if _BYTE_PACK is None:
+        P = np.zeros((128, 128), np.float32)
+        for lane in range(128):
+            P[lane, lane // 8] = float(1 << (lane % 8))
+        _BYTE_PACK = P
+    return _BYTE_PACK
+
+
+def _conv_kernel_small_packed(a_ref, b_ref, w_ref, v_ref, p_ref, out_ref,
+                              *, nb):
+    """Single-prime OR-convolution, packed uint32 in -> byte-planes out.
+    Same transform pipeline as _conv_kernel_small; the dense bit fields
+    exist only in VMEM."""
+    p = jnp.float32(_NTT_PRIMES[0])
+    r = jnp.float32(1.0 / _NTT_PRIMES[0])
+    x = jnp.concatenate(
+        [_unpack_pair(a_ref, nb), _unpack_pair(b_ref, nb)], axis=0)
+    w = w_ref[:]
+    v = v_ref[:]
+    s1 = _mod2(_mm(x, w), p, r)
+    s2 = _mod2(_mm(_blockt2(s1, nb), w), p, r)
+    half = nb // 2 * 64
+    prod = _mod2(s2[:half] * s2[half:], p, r)
+    i1 = _mod2(_mm(prod, v), p, r)
+    counts = _mod2(_mm(_blockt2(i1, nb // 2), v), p, r)
+    bits = (counts > 0.5).astype(BF16)
+    packed = _mm(bits, p_ref[:])  # [nb/2*64, 128], bytes in cols 0..15
+    # int32 output: Mosaic float->unsigned casts are unsupported, and
+    # byte values reach 255 (overflow int8); the extra bytes are noise
+    out_ref[:] = packed[:, :16].astype(jnp.int32).reshape(nb // 2, 64, 16)
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "interpret"))
+def conv_small_packed(pa, pb, nb=64, interpret=False):
+    """Single-prime fused OR-convolution on PACKED boards: uint32
+    [B, 64, 2] in, uint32 [B, 64, 2] out — no dense materialization on
+    either side (in-kernel bit expansion + byte-matmul packing), so the
+    library-level call costs kernel-rate, not pack/unpack-rate.  Exact
+    iff every count < 193 (the Match/pattern family guarantee), like
+    conv_small_fused."""
+    B = pa.shape[0]
+    nb = min(nb, B)
+    if nb % 2:
+        nb *= 2
+    pad = -B % nb
+    if pad:
+        zeros = jnp.zeros((pad, 64, 2), jnp.uint32)
+        pa = jnp.concatenate([pa, zeros])
+        pb = jnp.concatenate([pb, zeros])
+    Bp = B + pad
+    grid = (Bp // nb,)
+    W, V = _small_matrices()
+    spec = pl.BlockSpec((nb, 64, 2), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((128, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((nb // 2, 64, 16), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    by = pl.pallas_call(
+        functools.partial(_conv_kernel_small_packed, nb=nb),
+        out_shape=jax.ShapeDtypeStruct((Bp // 2, 64, 16), jnp.int32),
+        grid=grid,
+        in_specs=[spec, spec, wspec, wspec, wspec],
+        out_specs=ospec,
+        interpret=interpret,
+    )(
+        pa.astype(jnp.uint32), pb.astype(jnp.uint32),
+        jnp.asarray(W, BF16), jnp.asarray(V, BF16),
+        jnp.asarray(_byte_pack_matrix(), BF16),
+    )
+    # byte planes -> uint32 words + pair de-interleave (a few MB of
+    # traffic; the dense alternative moved 67+ MB)
+    w8 = by.astype(jnp.uint32)  # [Bp/2, 64, 16]
+    words = (w8[..., 0::4] | (w8[..., 1::4] << 8) | (w8[..., 2::4] << 16)
+             | (w8[..., 3::4] << 24))  # [Bp/2, 64, 4] = even lo,hi, odd lo,hi
+    pairs = jnp.stack([words[..., :2], words[..., 2:]], axis=1)
+    return pairs.reshape(Bp, 64, 2)[:B]
+
+
 @functools.partial(jax.jit, static_argnames=("nb", "interpret"))
 def conv_counts_fused(da, db, nb=32, interpret=False):
     """Exact circular-convolution counts of dense [B, 64, 64] boards in

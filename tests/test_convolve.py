@@ -255,6 +255,27 @@ def test_small_fused_kernel_matches(rng):
         assert (got_or != 0).tolist() == (exp > 0).tolist()
 
 
+def test_small_packed_kernel_matches(rng):
+    """Fully-packed kernel (uint32 in/out, in-kernel bit expansion +
+    byte-matmul packing) in interpreter mode: bit-identical OR result,
+    odd-batch padding path included."""
+    from lifeapi_tpu.ops import conv_pallas as CP
+
+    for B in (2, 3, 6):
+        a = board.from_dense(jnp.asarray(random_dense(rng, p=0.03, batch=(B,))))
+        b = board.from_dense(jnp.asarray(random_dense(rng, p=0.03, batch=(B,))))
+        exp = convolve.convolve(a, b, method="fft")
+        got = CP.conv_small_packed(a, b, interpret=True)
+        assert bool(jnp.all(got == exp))
+    # wrap-heavy edge cells
+    a = jnp.stack([board.from_cells([(63, 63), (0, 0), (31, 32)]),
+                   board.from_cells([(1, 2)])])
+    b = jnp.stack([board.from_cells([(63, 1)]),
+                   board.from_cells([(2, 63), (33, 31)])])
+    assert bool(jnp.all(CP.conv_small_packed(a, b, interpret=True)
+                        == convolve.convolve(a, b, method="fft")))
+
+
 def test_auto_small_detection():
     """_auto_small: proves the bound from host-known operands only."""
     import jax
