@@ -4,20 +4,32 @@
 Runs the fused Pallas rollout kernel (even/odd interleaved packing) on
 whatever accelerator jax exposes and prints ONE JSON line.
 
-Engineering notes:
-* exactly one compiled TPU computation (the rollout kernel) — all packing
+Measurement methodology (round 3 — made robust against tunnel jitter):
+
+* exactly one compiled TPU computation (the rollout kernel); all packing
   conversions and the bit-exactness gate run host-side (numpy + the
-  independent native C oracle), because remote-compile backends make every
-  extra jit dispatch expensive;
-* timing is K-call chaining with a host readback fence —
-  ``block_until_ready`` can return before execution completes on tunneled
-  backends, so the readback is the only reliable fence.
+  independent native C oracle);
+* per-call work is sized so compute dominates dispatch jitter: T=4096
+  generations per call is ~30 ms of compute at the 1e9 steps/s target,
+  comparable to the ~29 ms tunnel RTT rather than 10x below it;
+* timing is K-call chaining with a host readback fence
+  (``block_until_ready`` can return before execution completes on
+  tunneled backends; the readback is the only reliable fence).  The
+  per-call cost is the SLOPE of the chain time in K, estimated as
+  (t(K_hi) - t(K_lo)) / (K_hi - K_lo) so the fixed per-dispatch/readback
+  cost cancels;
+* the slope is sampled REPS times and the median is reported; if the
+  median is non-positive or the sample spread (max/min over the middle
+  quartiles) exceeds SPREAD_LIMIT, an explicit ``error`` JSON is printed —
+  never a fabricated value (round-2 verdict: a max(dt, 1e-9) clamp once
+  printed a 4e15 "result" when two single-sample timings crossed).
 
 Baseline: the reference C++ LifeAPI ``Step`` measured at 5.55e6 steps/s on
 one Xeon 2.1 GHz core (BASELINE.md).  ``vs_baseline`` is the speedup.
 """
 
 import json
+import statistics
 import time
 
 import numpy as np
@@ -27,6 +39,10 @@ import jax
 from lifeapi_tpu.ops import step_pallas
 
 BASELINE_STEPS_PER_SEC = 5.55e6  # reference LifeAPI.hpp:1196-1216, 1 CPU core
+
+K_LO, K_HI = 1, 9  # chain lengths; slope over (K_HI - K_LO) calls
+REPS = 7           # slope samples; median reported
+SPREAD_LIMIT = 1.5  # max/min over the inner samples (outliers trimmed)
 
 
 def _np_expand_even(x):
@@ -48,10 +64,22 @@ def eo_to_u64(e, o):
     return lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32))
 
 
+def _fail(reason, **extra):
+    out = {
+        "metric": "life_steps_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "steps/s",
+        "vs_baseline": 0.0,
+        "error": reason,
+    }
+    out.update(extra)
+    print(json.dumps(out))
+
+
 def main():
     on_accel = jax.devices()[0].platform != "cpu"
     B = 8192 if on_accel else 512
-    T = 512 if on_accel else 32
+    T = 4096 if on_accel else 32
 
     rng = np.random.default_rng(0)
     e0 = rng.integers(0, 2**32, size=(64, B), dtype=np.uint32)
@@ -80,28 +108,44 @@ def main():
         bit_exact = f"oracle unavailable: {exc}"
 
     if bit_exact is not True:
-        print(json.dumps({
-            "metric": "life_steps_per_sec_per_chip", "value": 0.0,
-            "unit": "steps/s", "vs_baseline": 0.0,
-            "error": f"bit-exactness gate failed: {bit_exact}",
-        }))
+        _fail(f"bit-exactness gate failed: {bit_exact}")
         return
 
-    def timed_chain(reps):
+    def timed_chain(k):
         a, b = e, o
         t0 = time.perf_counter()
-        for _ in range(reps):
+        for _ in range(k):
             a, b = run(a, b)
         np.asarray(a)  # host readback = execution fence
         return time.perf_counter() - t0
 
-    timed_chain(1)
-    reps = 10 if on_accel else 2
-    base = timed_chain(1)
-    total = timed_chain(reps + 1)
-    dt = max((total - base) / reps, 1e-9)
+    timed_chain(1)  # extra warm dispatch after compile
+    slopes = []
+    for _ in range(REPS):
+        t_lo = timed_chain(K_LO)
+        t_hi = timed_chain(K_HI)
+        slopes.append((t_hi - t_lo) / (K_HI - K_LO))
 
-    steps_per_sec = B * T / dt
+    median = statistics.median(slopes)
+    if median <= 0:
+        _fail("non-positive median chain slope (tunnel jitter exceeds "
+              "compute); raise T or re-run", slopes_ms=[s * 1e3 for s in slopes])
+        return
+    # trim one outlier at each end, then bound the remaining spread
+    inner = sorted(slopes)[1:-1]
+    if inner and min(inner) > 0:
+        spread = max(inner) / min(inner)
+    else:
+        spread = float("inf")
+    if spread > SPREAD_LIMIT:
+        _fail(
+            f"slope spread {spread:.2f}x exceeds {SPREAD_LIMIT}x across "
+            f"{REPS} samples; measurement unstable",
+            slopes_ms=[s * 1e3 for s in slopes],
+        )
+        return
+
+    steps_per_sec = B * T / median
     print(
         json.dumps(
             {
@@ -109,6 +153,8 @@ def main():
                 "value": steps_per_sec,
                 "unit": "steps/s",
                 "vs_baseline": steps_per_sec / BASELINE_STEPS_PER_SEC,
+                "spread": round(spread, 3),
+                "samples": REPS,
             }
         )
     )

@@ -433,7 +433,17 @@ def xy_bounds(board):
     either the raw seam or the centered seam get their true box.  (x0, y0)
     lies in centered coords [-32, 31]; x1/y1 = x0/y0 + extent - 1 and may
     exceed 31 for straddling patterns — ``move(b, -x0, -y0)`` normalizes
-    any pattern to the origin either way."""
+    any pattern to the origin either way.
+
+    Divergence from the reference (intentional, documented in PARITY.md):
+    the box differs from reference ``XYBounds`` whenever the LARGEST empty
+    circular gap is interior, not only for seam-straddling patterns.
+    E.g. cells at centered x = -30 and x = 30: the reference reports
+    [-30, 30] (width 61); this returns the circularly-tighter box anchored
+    at 30 (width 5, wrapping through the seam).  Consumers that want the
+    reference's non-circular box on non-straddling patterns should not —
+    the circular box is never wider, and ``buffer_around`` placements
+    remain correct on the torus."""
     x0, x1 = _circular_margins(populated_columns(board))
     y0, y1 = _circular_margins(populated_rows(board))
     return jnp.stack([x0, y0, x1, y1], axis=-1)

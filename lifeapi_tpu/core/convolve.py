@@ -367,7 +367,8 @@ def match_live_and_dead(state, live, dead, small=None):
     lcells = _host_cells(live)
     dcells = _host_cells(dead)
     if (lcells is not None and dcells is not None
-            and len(lcells) + len(dcells) <= 2 * _SPARSE_MAX_CELLS):
+            and len(lcells) <= _SPARSE_MAX_CELLS
+            and len(dcells) <= _SPARSE_MAX_CELLS):
         return match_sparse(state, lcells) & match_sparse(
             state, dcells, invert=True)
     misses = correlate_counts(~state, live, small=small)

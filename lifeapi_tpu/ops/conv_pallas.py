@@ -278,7 +278,7 @@ def _conv_kernel_small_packed(a_ref, b_ref, w_ref, v_ref, p_ref, out_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("nb", "interpret"))
-def conv_small_packed(pa, pb, nb=64, interpret=False):
+def conv_small_packed(pa, pb, nb=128, interpret=False):
     """Single-prime fused OR-convolution on PACKED boards: uint32
     [B, 64, 2] in, uint32 [B, 64, 2] out — no dense materialization on
     either side (in-kernel bit expansion + byte-matmul packing), so the

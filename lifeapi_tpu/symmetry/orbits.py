@@ -26,6 +26,50 @@ def board_hash(board):
     return int.from_bytes(hashlib.blake2b(raw, digest_size=8).digest(), "little")
 
 
+def _anchor_candidates(populated):
+    """All raw-coordinate starts of the tightest circular populated window
+    — one per maximal circular run of empty entries.  Patterns with TIED
+    maximal gaps have several equally-tight anchors; translation-invariant
+    normalization must consider them all (``xy_bounds`` alone breaks ties
+    by raw index, which is not translation-covariant)."""
+    n = populated.shape[-1]
+    if not populated.any():
+        return [0]
+    if populated.all():
+        return list(range(n))  # no gap: every rotation is a candidate
+    starts, best = [], 0
+    for i in range(n):
+        if populated[i - 1] and not populated[i]:  # gap starts at i
+            length = 1
+            while not populated[(i + length) % n]:
+                length += 1
+            if length > best:
+                best, starts = length, [(i + length) % n]
+            elif length == best:
+                starts.append((i + length) % n)
+    return starts
+
+
+def _normalize_origin(board):
+    """(min_hash, normalized_board): the board translated to its canonical
+    origin anchor.  Among all tied tightest-window anchors the one giving
+    the lexicographically smallest board hash wins, so the result is a
+    function of the pattern's content only — fully translation-invariant
+    even for patterns with tied maximal empty gaps (round-2 advisor
+    finding on ``_circular_margins`` argmax tie-breaking)."""
+    dense = np.asarray(board_mod.to_dense(board)).astype(bool)
+    xs = _anchor_candidates(dense.any(axis=1))
+    ys = _anchor_candidates(dense.any(axis=0))
+    best_h, best_b = None, None
+    for x0 in xs:
+        for y0 in ys:
+            moved = board_mod.move(board, -int(x0), -int(y0))
+            h = board_hash(moved)
+            if best_h is None or h < best_h:
+                best_h, best_b = h, moved
+    return best_h, best_b
+
+
 def octo_hash(board):
     """XOR of hashes of all 16 transforms normalized to the origin
     (reference ``GetOctoHash``, Symmetry.hpp:774-785).
@@ -36,26 +80,23 @@ def octo_hash(board):
     the XOR cancels in pairs — the reference key is invariant under
     translation and the y=x reflection but NOT under e.g. Rotate90.  We
     reproduce that behavior; use :func:`canonical_hash` for a fully
-    orientation-independent key."""
+    orientation-independent key.  Normalization uses the canonical
+    min-hash anchor (see :func:`_normalize_origin`) so the key really is
+    translation-invariant, including tied-gap patterns."""
     result = 0
     for t in ALL_TRANSFORMS:
-        tr = transform(board, t)
-        b = np.asarray(board_mod.xy_bounds(tr))
-        tr = board_mod.move(tr, -int(b[0]), -int(b[1]))
-        result ^= board_hash(tr)
+        h, _ = _normalize_origin(transform(board, t))
+        result ^= h
     return result
 
 
 def canonical_hash(board):
     """Fully orientation- and translation-independent key: the minimum of
-    the hashes of the 8 origin-normalized D8 images (framework extension;
-    fixes the reference octo-hash cancellation quirk)."""
+    the hashes of the 8 canonically origin-normalized D8 images (framework
+    extension; fixes the reference octo-hash cancellation quirk)."""
     best = None
     for t in _OCTO_TRANSFORMS:
-        tr = transform(board, t)
-        b = np.asarray(board_mod.xy_bounds(tr))
-        tr = board_mod.move(tr, -int(b[0]), -int(b[1]))
-        h = board_hash(tr)
+        h, _ = _normalize_origin(transform(board, t))
         best = h if best is None else min(best, h)
     return best
 
@@ -95,9 +136,7 @@ def symmetry_orbit(board):
     ``SymmetryOrbit``, Symmetry.hpp:798-812)."""
     result = []
     for t in _OCTO_TRANSFORMS:
-        tr = transform(board, t)
-        b = np.asarray(board_mod.xy_bounds(tr))
-        tr = board_mod.move(tr, -int(b[0]), -int(b[1]))
+        _, tr = _normalize_origin(transform(board, t))
         if not any(bool(board_mod.equal(tr, r)) for r in result):
             result.append(tr)
     return result
@@ -109,9 +148,7 @@ def symmetry_orbit_representatives(board):
     seen = []
     reps = []
     for t in _OCTO_TRANSFORMS:
-        tr = transform(board, t)
-        b = np.asarray(board_mod.xy_bounds(tr))
-        tr = board_mod.move(tr, -int(b[0]), -int(b[1]))
+        _, tr = _normalize_origin(transform(board, t))
         if not any(bool(board_mod.equal(tr, s)) for s in seen):
             seen.append(tr)
             reps.append(t)

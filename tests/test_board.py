@@ -137,6 +137,21 @@ def test_xy_bounds_wrap_seam():
     assert orbits.canonical_hash(base) == orbits.canonical_hash(moved)
 
 
+def test_xy_bounds_interior_gap_divergence():
+    """Pin the intended divergence from reference XYBounds (round-2
+    advisor): whenever the LARGEST empty circular gap is interior the box
+    wraps through the seam instead of spanning the gap.  Cells at centered
+    x = -30 and x = 30: reference reports [-30, 30] width 61; we return
+    the circularly-tighter width-5 box anchored at 30."""
+    p = board.from_cells([(34, 5), (30, 5)])  # centered x = -30 and 30
+    b = np.asarray(board.xy_bounds(p)).tolist()
+    assert b == [30, 5, 34, 5]
+    # and move(-x0, -y0) still normalizes to the origin with width 5
+    norm = board.move(p, -b[0], -b[1])
+    nb = np.asarray(board.xy_bounds(norm)).tolist()
+    assert nb == [0, 0, 4, 0]
+
+
 def test_first_on_and_cells():
     p = board.from_cells([(5, 7), (3, 60), (3, 2)])
     xy = np.asarray(board.first_on(p))

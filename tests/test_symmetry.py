@@ -208,6 +208,27 @@ def test_canonical_hash_invariance(rng):
     assert orbits.canonical_hash(board.move(p, 3, 5)) == h
 
 
+def test_hash_invariance_tied_gaps():
+    """Round-2 advisor (medium): patterns whose longest empty circular run
+    is TIED between several gaps used to normalize to different anchors at
+    different translations (argmax tie-breaking is not translation-
+    covariant), breaking octo_hash/canonical_hash translation invariance.
+    The canonical min-hash anchor (orbits._normalize_origin) fixes it."""
+    # advisor counterexample: x-gaps of 20 (1..20? no: 1-20 and 23-42 both
+    # length 20 after the cells below) — two tied maximal gaps
+    base = board.from_cells([(0, 5), (21, 5), (22, 5), (43, 5), (0, 6)])
+    ho = orbits.octo_hash(base)
+    hc = orbits.canonical_hash(base)
+    orbit = {orbits.board_hash(b) for b in orbits.symmetry_orbit(base)}
+    for dx, dy in [(1, 0), (7, 3), (20, 0), (21, 0), (22, 11), (43, 63),
+                   (63, 1), (32, 32)]:
+        moved = board.move(base, dx, dy)
+        assert orbits.octo_hash(moved) == ho, (dx, dy)
+        assert orbits.canonical_hash(moved) == hc, (dx, dy)
+        assert {orbits.board_hash(b)
+                for b in orbits.symmetry_orbit(moved)} == orbit, (dx, dy)
+
+
 def test_symmetry_orbit():
     blinker = board.from_cells([(1, 0), (1, 1), (1, 2)])
     orbit = orbits.symmetry_orbit(blinker)
