@@ -203,12 +203,81 @@ def _step_kernel(*refs):
     outs[21][:] = abort
 
 
-def _run_fixpoint(planes, max_iters, alive0=None):
+def _simple_quiescence(planes, alive, max_iters):
+    """Cheap-rule phase (reference ``PropagateSimple``, LifeStable.hpp:
+    505-524): iterate the 2-plane state/unknown-only rule
+    (stable/bitplane.simple_circuit) until no active lane changes.  Each
+    iteration costs two 9-counts plus a ~60-op elementwise circuit —
+    roughly a quarter of the full sync+update+signal step — and reaches
+    the same quiescence on pure forced-cell chains, so the expensive full
+    pass runs fewer times.  Only the state/unknown planes change; the
+    next full pass's synchronise reconciles the ruled planes (same
+    contract as the dense/packed jnp paths).  Returns
+    (planes, aborted, changed) lane masks."""
+    zeros = jnp.zeros_like(planes[0])
+
+    def lane_any(plane):
+        any_l = jnp.any(plane != 0, axis=0, keepdims=True)
+        mask = jnp.where(any_l, U32(0xFFFFFFFF), U32(0))
+        return jnp.broadcast_to(mask, plane.shape)
+
+    def cond(c):
+        return jnp.any(c[4] != 0) & (c[7] < max_iters)
+
+    def body(c):
+        sl, sh, ul, uh, s_alive, s_abort, s_changed, sit = c
+        on9 = _count9(sl, sh)
+        unk9 = _count9(ul, uh)
+        res = [
+            BP.simple_circuit(s, u, on9[k], unk9[k])
+            for k, (s, u) in enumerate(((sl, ul), (sh, uh)))
+        ]
+        onz = _zoi_hollow(res[0][3], res[1][3])
+        onz = (onz[0] | res[0][3], onz[1] | res[1][3])
+        offz = _zoi_hollow(res[0][2], res[1][2])
+        offz = (offz[0] | res[0][2], offz[1] | res[1][2])
+        new_s, new_u, ab, ch = [], [], zeros, zeros
+        for k, (s, u) in enumerate(((sl, ul), (sh, uh))):
+            new_off, new_on, _, _, abort_c = res[k]
+            st1 = s | new_on
+            un1 = u & ~new_on & ~new_off
+            st2 = st1 | (onz[k] & un1)
+            abort_c = abort_c | (offz[k] & onz[k] & un1)
+            un2 = un1 & ~offz[k] & ~onz[k]
+            new_s.append(st2)
+            new_u.append(un2)
+            ab = ab | abort_c
+            ch = ch | (un2 ^ u)
+        abort_l = lane_any(ab)
+        changed_l = lane_any(ch)
+        apply = s_alive & ~abort_l
+        sl = (new_s[0] & apply) | (sl & ~apply)
+        sh = (new_s[1] & apply) | (sh & ~apply)
+        ul = (new_u[0] & apply) | (ul & ~apply)
+        uh = (new_u[1] & apply) | (uh & ~apply)
+        s_abort = s_abort | (s_alive & abort_l)
+        s_changed = s_changed | (s_alive & changed_l)
+        s_alive = s_alive & ~abort_l & changed_l
+        return sl, sh, ul, uh, s_alive, s_abort, s_changed, sit + 1
+
+    sl, sh, ul, uh, _, s_abort, s_changed, _ = jax.lax.while_loop(
+        cond, body,
+        (planes[0], planes[1], planes[2], planes[3], alive, zeros, zeros,
+         jnp.int32(0)),
+    )
+    return (sl, sh, ul, uh) + tuple(planes[4:]), s_abort, s_changed
+
+
+def _run_fixpoint(planes, max_iters, alive0=None, simple_phase=True):
     """In-VMEM propagate fixpoint: loop the step until no active board in
     the tile changes.  Returns (planes, aborted, changed_ever) with
     aborted/changed as per-lane uint32 bitmasks (lane-constant).
     ``alive0`` optionally restricts which lanes participate (uint32 lane
-    mask, e.g. the beam's active frontier slots)."""
+    mask, e.g. the beam's active frontier slots).  ``simple_phase`` runs
+    the cheap 2-plane rule to quiescence before each full pass (reference
+    ``PropagateSimple`` composition); the fixpoint reached is identical —
+    every simple-rule deduction is also made by the full circuit — so
+    this is purely a speed knob (asserted by tests/test_stable_pallas)."""
     ones = ~jnp.zeros_like(planes[0])
     zeros = jnp.zeros_like(planes[0])
 
@@ -226,6 +295,13 @@ def _run_fixpoint(planes, max_iters, alive0=None):
 
     def body(carry):
         planes, alive, aborted, changed_ever, it = carry
+        if simple_phase:
+            planes, s_abort, s_changed = _simple_quiescence(
+                planes, alive, max_iters
+            )
+            aborted = aborted | s_abort
+            changed_ever = changed_ever | s_changed
+            alive = alive & ~s_abort
         new_planes, changed, abort = _step_planes(planes)
         abort_l = lane_any(abort)
         changed_l = lane_any(changed)
@@ -245,13 +321,14 @@ def _run_fixpoint(planes, max_iters, alive0=None):
     return planes, aborted, changed_ever
 
 
-def _fixpoint_kernel(*refs, max_iters):
+def _fixpoint_kernel(*refs, max_iters, simple_phase=True):
     """Entire propagate fixpoint in VMEM.  Outputs the final planes plus
     per-lane consistent / changed bitmasks (uint32[64, Bt])."""
     ins = refs[:20]
     outs = refs[20:]
     planes = tuple(r[:] for r in ins)
-    planes, aborted, changed_ever = _run_fixpoint(planes, max_iters)
+    planes, aborted, changed_ever = _run_fixpoint(
+        planes, max_iters, simple_phase=simple_phase)
     for i in range(20):
         outs[i][:] = planes[i]
     outs[20][:] = changed_ever
@@ -314,13 +391,14 @@ def _priority_planes(planes):
     return tuple(res)
 
 
-def _fixpoint_beam_kernel(*refs, max_iters):
+def _fixpoint_beam_kernel(*refs, max_iters, simple_phase=True):
     """Fixpoint + branch-priority masks in one kernel (the beam search's
     whole per-round device work on the 10-plane state)."""
     ins = refs[:20]
     outs = refs[20:]
     planes = tuple(r[:] for r in ins)
-    planes, aborted, changed_ever = _run_fixpoint(planes, max_iters)
+    planes, aborted, changed_ever = _run_fixpoint(
+        planes, max_iters, simple_phase=simple_phase)
     prio = _priority_planes(planes)
     for i in range(20):
         outs[i][:] = planes[i]
@@ -375,9 +453,10 @@ def _from_kernel_planes(planes):
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "batch_tile",
-                                             "interpret"))
+                                             "interpret", "simple_phase"))
 def propagate_fused_inkernel(bst: BP.BitStable, max_iters=256,
-                             batch_tile=128, interpret=False):
+                             batch_tile=128, interpret=False,
+                             simple_phase=True):
     """Whole propagate fixpoint in ONE pallas call: the while_loop runs in
     VMEM, boards in a tile iterate until the slowest converges.  Contract:
     per-board (consistent, changed); planes of INCONSISTENT boards are
@@ -391,7 +470,8 @@ def propagate_fused_inkernel(bst: BP.BitStable, max_iters=256,
                         memory_space=pltpu.VMEM)
     out_shapes = tuple(jax.ShapeDtypeStruct((64, b), U32) for _ in range(22))
     outs = pl.pallas_call(
-        functools.partial(_fixpoint_kernel, max_iters=max_iters),
+        functools.partial(_fixpoint_kernel, max_iters=max_iters,
+                          simple_phase=simple_phase),
         out_shape=out_shapes,
         grid=grid,
         in_specs=[spec] * 20,
@@ -405,9 +485,9 @@ def propagate_fused_inkernel(bst: BP.BitStable, max_iters=256,
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "batch_tile",
-                                             "interpret"))
+                                             "interpret", "simple_phase"))
 def propagate_fused_beam_planes(planes, max_iters=256, batch_tile=128,
-                                interpret=False):
+                                interpret=False, simple_phase=True):
     """Kernel-layout variant of :func:`propagate_fused_beam`: takes and
     returns 20 uint32[64, L] half-planes directly (no packing transposes).
     Returns ``(new_planes, changed[64, L], consistent[64, L], prio)`` where
@@ -423,7 +503,8 @@ def propagate_fused_beam_planes(planes, max_iters=256, batch_tile=128,
                         memory_space=pltpu.VMEM)
     out_shapes = tuple(jax.ShapeDtypeStruct((64, b), U32) for _ in range(30))
     outs = pl.pallas_call(
-        functools.partial(_fixpoint_beam_kernel, max_iters=max_iters),
+        functools.partial(_fixpoint_beam_kernel, max_iters=max_iters,
+                          simple_phase=simple_phase),
         out_shape=out_shapes,
         grid=grid,
         in_specs=[spec] * 20,
@@ -434,9 +515,9 @@ def propagate_fused_beam_planes(planes, max_iters=256, batch_tile=128,
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "batch_tile",
-                                             "interpret"))
+                                             "interpret", "simple_phase"))
 def propagate_fused_beam(bst: BP.BitStable, max_iters=256, batch_tile=128,
-                         interpret=False):
+                         interpret=False, simple_phase=True):
     """Propagate fixpoint AND branch-priority masks in ONE pallas call.
     Returns ``(BitPropagateResult, levels)`` where ``levels`` is the
     4-tuple of packed masks from stable/bitplane.branch_levels evaluated
@@ -451,7 +532,8 @@ def propagate_fused_beam(bst: BP.BitStable, max_iters=256, batch_tile=128,
                         memory_space=pltpu.VMEM)
     out_shapes = tuple(jax.ShapeDtypeStruct((64, b), U32) for _ in range(30))
     outs = pl.pallas_call(
-        functools.partial(_fixpoint_beam_kernel, max_iters=max_iters),
+        functools.partial(_fixpoint_beam_kernel, max_iters=max_iters,
+                          simple_phase=simple_phase),
         out_shape=out_shapes,
         grid=grid,
         in_specs=[spec] * 20,
@@ -567,7 +649,8 @@ def _greduce(x, F, op):
     return x
 
 
-def _beam_kernel(*refs, F, iters, minimise, max_fix_iters, use_seed=False):
+def _beam_kernel(*refs, F, iters, minimise, max_fix_iters, use_seed=False,
+                 simple_phase=True):
     act_ref = refs[0]
     in_planes = refs[1:21]
     if use_seed:
@@ -601,7 +684,8 @@ def _beam_kernel(*refs, F, iters, minimise, max_fix_iters, use_seed=False):
 
         alive0 = jnp.broadcast_to(active, planes[0].shape)
         planes, aborted, _ = _run_fixpoint(planes, max_fix_iters,
-                                           alive0=alive0)
+                                           alive0=alive0,
+                                           simple_phase=simple_phase)
         ok = active & ~aborted[0:1, :]  # aborted is lane-constant
 
         s_lo, s_hi = planes[0], planes[1]
@@ -775,10 +859,11 @@ def _beam_kernel(*refs, F, iters, minimise, max_fix_iters, use_seed=False):
 
 @functools.partial(jax.jit, static_argnames=("F", "iters", "minimise",
                                              "batch_tile", "interpret",
-                                             "max_fix_iters"))
+                                             "max_fix_iters",
+                                             "simple_phase"))
 def beam_search_planes(planes, active_row, *, F, iters, minimise,
                        batch_tile=128, interpret=False, max_fix_iters=256,
-                       seed_planes=None):
+                       seed_planes=None, simple_phase=True):
     """Run the ENTIRE beam completion search in one pallas_call.
 
     ``planes``: 20 uint32[64, L] half-planes (L = B*F lanes, slot index
@@ -809,7 +894,8 @@ def beam_search_planes(planes, active_row, *, F, iters, minimise,
     seed_in = tuple(seed_planes) if use_seed else ()
     return pl.pallas_call(
         functools.partial(_beam_kernel, F=F, iters=iters, minimise=minimise,
-                          max_fix_iters=max_fix_iters, use_seed=use_seed),
+                          max_fix_iters=max_fix_iters, use_seed=use_seed,
+                          simple_phase=simple_phase),
         out_shape=out_shapes,
         grid=grid,
         in_specs=[rspec] + [pspec] * (20 + 2 * use_seed),

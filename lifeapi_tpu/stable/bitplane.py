@@ -386,6 +386,83 @@ def signal_neighbours(bst: BitStable):
     return BitPropagateResult(out, ~abort, changes)
 
 
+def simple_circuit(state, unknown, on9, unk9):
+    """Elementwise core of the cheap state/unknown-only rule (reference
+    ``PropagateSimpleStep`` netlist stable_simple, LifeStable.hpp:414-503;
+    dense counterpart propagate.propagate_simple_step).  ``on9``/``unk9``
+    are INCLUSIVE 9-counts as nibbles.  Returns bit-planes ``(new_off,
+    new_on, sig_off, sig_on, abort)``; set/clear masks are pre-gated on
+    unknown centers, signal masks must be smeared with an INCLUSIVE ZOI by
+    the caller.  Ruled planes are neither read nor written — the next
+    synchronise pass reconciles them, as in the reference.
+
+    Derivation (verified against rules_vec.simple_bits on the full count
+    grid, tests/test_bitplane.py): with A = known-ON neighbours and
+    U = unknown neighbours, the neighbour-count interval is [A, A+U]:
+      * unknown center forced ON   iff interval == {3}  (OFF would birth)
+      * unknown center forced OFF  iff interval excludes 2 and 3
+        (ON would die)
+      * ON center aborts iff interval excludes both 2 and 3; signals all
+        unknowns ON/OFF when exactly one of {2,3} is reachable and only
+        at the interval's top/bottom end
+      * OFF center aborts iff interval == {3}; with exactly one unknown
+        neighbour, A==3 forces it ON and A==2 forces it OFF (avoid birth)
+    """
+    known_off = ~state & ~unknown
+    A = nb.sub_bit(on9, state)       # known-ON neighbours (interval lo)
+    U = nb.sub_bit(unk9, unknown)    # unknown neighbours
+    hi = nb.add(A, U)                # interval hi (<= 8, fits a nibble)
+
+    in2 = nb.ge_const(hi, 2) & nb.le_const(A, 2)
+    in3 = nb.ge_const(hi, 3) & nb.le_const(A, 3)
+    only_three = nb.eq_const(A, 3) & nb.eq_const(hi, 3)
+    live_ok = in2 | in3
+
+    abort = (state & ~live_ok) | (known_off & only_three)
+
+    new_on = unknown & only_three
+    new_off = unknown & ~only_three & ~live_ok
+
+    unique = in2 ^ in3
+    sig_on_on = state & unique & (
+        (in2 & nb.eq_const(hi, 2)) | (in3 & nb.eq_const(hi, 3))
+    )
+    sig_off_on = state & unique & (
+        (in2 & nb.eq_const(A, 2)) | (in3 & nb.eq_const(A, 3))
+    )
+    one_unk = nb.eq_const(U, 1)
+    sig_on_off = known_off & one_unk & nb.eq_const(A, 3)
+    sig_off_off = known_off & one_unk & nb.eq_const(A, 2)
+
+    has_unk = ~nb.eq_const(U, 0)
+    sig_on = (sig_on_on | sig_on_off) & has_unk
+    sig_off = (sig_off_on | sig_off_off) & has_unk
+    return new_off, new_on, sig_off, sig_on, abort
+
+
+def propagate_simple_step(bst: BitStable):
+    """One cheap simple-rule step on packed planes (reference
+    ``PropagateSimpleStep``, LifeStable.hpp:414-503).  Ruled planes are
+    untouched; the next synchronise reconciles them (same contract as
+    the dense propagate.propagate_simple_step)."""
+    on9 = _counts_nibble(bst.state)
+    unk9 = _counts_nibble(bst.unknown)
+    new_off, new_on, sig_off, sig_on, abort_cells = simple_circuit(
+        bst.state, bst.unknown, on9, unk9
+    )
+    state = bst.state | new_on
+    unknown = bst.unknown & ~new_on & ~new_off
+    on_z = B.zoi(sig_on)
+    off_z = B.zoi(sig_off)
+    state = state | (on_z & unknown)
+    abort_cells = abort_cells | (off_z & on_z & unknown)
+    unknown = unknown & ~off_z & ~on_z
+    changed = _any(unknown ^ bst.unknown)
+    return BitPropagateResult(
+        BitStable(state, unknown, bst.ruled), ~_any(abort_cells), changed
+    )
+
+
 def propagate_step(bst: BitStable):
     """Reference ``PropagateStep`` (LifeStable.hpp:695-716), packed."""
     r1 = synchronise_state_known(bst)

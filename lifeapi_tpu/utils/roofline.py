@@ -1,0 +1,129 @@
+"""Per-kernel roofline accounting (SURVEY.md §5.1 promise; round-2
+VERDICT missing #3).
+
+The hot kernels here are integer/boolean VPU code — the roofline that
+matters is *vector lane-ops per second* against the VPU's issue-rate
+ceiling, not FLOPs against the MXU.  This module counts the lane-ops of a
+kernel body mechanically from its jaxpr (so the counts track the code),
+and benches divide measured throughput by the documented peak to report a
+``% of VPU peak`` column (BENCH_NOTES.md).
+
+Peak model (documented so the number is auditable):
+
+  TPU v5e, one TensorCore: the VPU is an (8 sublane x 128 lane) vector
+  unit with 4 independent ALU slots per lane-position at ~0.94 GHz
+  (public "How to Scale Your Model" figures), i.e.
+
+      peak = 8 * 128 * 4 * 0.94e9 ~= 3.85e12 uint32 lane-ops/s.
+
+  This is the *issue-rate* ceiling for elementwise int ops, assuming
+  perfect 4-way slot packing; shifts/selects/shuffles occupy the same
+  slots, and not every op mix reaches 4-way issue, so sustained fractions
+  above ~50% are excellent and >80% is effectively speed-of-light.
+
+CPU baseline model (for the host-oracle comparisons): one Xeon core at
+2.1 GHz executing ~3 scalar 64-bit ALU ops/cycle ~= 6.3e9 word-ops/s;
+each 64-bit word-op is 2 lane-ops in the 32-bit accounting below.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+V5E_VPU_PEAK_LANE_OPS = 8 * 128 * 4 * 0.94e9  # ~3.85e12 uint32 lane-ops/s
+
+# primitives that are pure data-plumbing in a fused kernel: either
+# compiled away entirely or not representative of ALU pressure
+_FREE_PRIMS = {
+    "broadcast_in_dim", "reshape", "squeeze", "transpose", "copy",
+    "convert_element_type", "stop_gradient", "slice",
+}
+
+
+def _count_jaxpr(jaxpr):
+    """Total output elements across counted eqns (recursing into control
+    flow is deliberately NOT done: trace loop *bodies*)."""
+    total = 0
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        if name in _FREE_PRIMS:
+            continue
+        if name in ("pjit", "closed_call", "custom_jvp_call",
+                    "custom_vjp_call"):
+            inner = eqn.params.get("jaxpr")
+            if inner is not None:
+                total += _count_jaxpr(
+                    inner.jaxpr if hasattr(inner, "jaxpr") else inner
+                )
+            continue
+        for out in eqn.outvars:
+            shape = getattr(out.aval, "shape", ())
+            total += int(np.prod(shape, dtype=np.int64)) if shape else 1
+    return total
+
+
+def lane_ops(fn, *example_args):
+    """Count vector lane-ops of one evaluation of ``fn`` (a loop BODY —
+    no data-dependent control flow) by tracing its jaxpr.  Every counted
+    primitive contributes its output element count; shuffles (concatenate
+    for sublane rolls) count as one op per element, matching how they
+    occupy VPU issue slots."""
+    jaxpr = jax.make_jaxpr(fn)(*example_args)
+    return _count_jaxpr(jaxpr.jaxpr)
+
+
+def pct_of_peak(achieved_lane_ops_per_s, peak=V5E_VPU_PEAK_LANE_OPS):
+    return 100.0 * achieved_lane_ops_per_s / peak
+
+
+# -- canned counters for the flagship kernels -------------------------------
+
+
+def step_lane_ops_per_board():
+    """Lane-ops per board per generation of the fused even/odd step
+    (ops/step_pallas.step_eo): each op processes the board's 64 uint32
+    column half-words per array."""
+    import jax.numpy as jnp
+
+    from ..ops import step_pallas
+
+    B = 8  # lane count cancels: we count per-board
+    e = jnp.zeros((64, B), jnp.uint32)
+    ops = lane_ops(lambda a, b: step_pallas.step_eo(a, b), e, e)
+    return ops // B
+
+
+def fixpoint_step_lane_ops_per_board():
+    """Lane-ops per board per full propagate step (sync+update+signal,
+    ops/stable_pallas._step_planes on 20 half-planes)."""
+    import jax.numpy as jnp
+
+    from ..ops import stable_pallas
+
+    B = 8
+    planes = tuple(jnp.zeros((64, B), jnp.uint32) for _ in range(20))
+    ops = lane_ops(lambda *p: stable_pallas._step_planes(p)[0], *planes)
+    return ops // B
+
+
+def simple_step_lane_ops_per_board():
+    """Lane-ops per board per cheap simple-rule iteration
+    (ops/stable_pallas._simple_quiescence body: 2 counts + circuit)."""
+    import jax.numpy as jnp
+
+    from ..ops import stable_pallas
+    from ..stable import bitplane as BP
+
+    B = 8
+    z = jnp.zeros((64, B), jnp.uint32)
+
+    def body(sl, sh, ul, uh):
+        on9 = stable_pallas._count9(sl, sh)
+        unk9 = stable_pallas._count9(ul, uh)
+        outs = []
+        for k, (s, u) in enumerate(((sl, ul), (sh, uh))):
+            outs.extend(BP.simple_circuit(s, u, on9[k], unk9[k]))
+        return outs
+
+    return lane_ops(body, z, z, z, z) // B

@@ -114,6 +114,26 @@ def test_propagate_matches_dense_random_batch(rng):
             assert (np.asarray(back.ruled[i]) == np.asarray(d.stable.ruled[i])).all()
 
 
+def test_simple_step_matches_dense(rng):
+    """Packed cheap rule (bitplane.propagate_simple_step / simple_circuit)
+    vs the dense propagate.propagate_simple_step (round-2 VERDICT #3)."""
+    for trial in range(6):
+        st = _random_stable(rng, p_state=0.1 + 0.05 * (trial % 3),
+                            p_unknown=0.2, p_ruled=0.0)
+        d = P.propagate_simple_step(P.Stable(st.state, st.unknown, st.ruled))
+        b = BP.propagate_simple_step(BP.from_dense_stable(st))
+        assert (np.asarray(b.consistent) == np.asarray(d.consistent)).all()
+        assert (np.asarray(b.changed) == np.asarray(d.changed)).all()
+        ok = np.asarray(d.consistent)
+        back = BP.to_dense_stable(b.stable)
+        for i in range(len(ok)):
+            if ok[i]:
+                assert (np.asarray(back.state[i])
+                        == np.asarray(d.stable.state[i])).all()
+                assert (np.asarray(back.unknown[i])
+                        == np.asarray(d.stable.unknown[i])).all()
+
+
 def test_ternary_packed_matches_dense(rng):
     from lifeapi_tpu.stable import ternary
 

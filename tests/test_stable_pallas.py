@@ -129,6 +129,39 @@ def test_inkernel_fixpoint_random_instances(rng):
     _assert_same(got.stable, expect.stable, mask=ok)
 
 
+def test_simple_phase_reaches_same_fixpoint(rng):
+    """The cheap-rule phase (round-2 VERDICT #3) is a pure speed knob:
+    fixpoints with and without it are identical (every simple-rule
+    deduction is subsumed by the full circuit, and propagation closure is
+    confluent)."""
+    from lifeapi_tpu.stable import host as H
+
+    B = 8
+    states, unknowns = [], []
+    for i in range(B):
+        truth = np.zeros((N, N), bool)
+        for _ in range(5):
+            x, y = rng.integers(4, 56, 2)
+            truth[x:x + 2, y:y + 2] = True
+        hide = (rng.random((N, N)) < 0.3) & H.zoi(truth)
+        states.append(truth & ~hide)
+        unknowns.append(hide | (H.zoi(H.zoi(truth)) & ~truth))
+    bst = BP.make(
+        state=board.from_dense(jnp.asarray(np.stack(states))),
+        unknown=board.from_dense(jnp.asarray(np.stack(unknowns))),
+    )
+    with_p = SP.propagate_fused_inkernel(bst, batch_tile=8,
+                                         interpret=_interp(),
+                                         simple_phase=True)
+    without = SP.propagate_fused_inkernel(bst, batch_tile=8,
+                                          interpret=_interp(),
+                                          simple_phase=False)
+    assert (np.asarray(with_p.consistent)
+            == np.asarray(without.consistent)).all()
+    ok = np.asarray(with_p.consistent)
+    _assert_same(with_p.stable, without.stable, mask=ok)
+
+
 def test_fused_propagate_random_instances(rng):
     from lifeapi_tpu.stable import host as H
 
