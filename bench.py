@@ -9,18 +9,19 @@ Measurement methodology (round 3 — made robust against tunnel jitter):
 * exactly one compiled TPU computation (the rollout kernel); all packing
   conversions and the bit-exactness gate run host-side (numpy + the
   independent native C oracle);
-* per-call work is sized so compute dominates dispatch jitter: T=4096
-  generations per call is ~30 ms of compute at the 1e9 steps/s target,
-  comparable to the ~29 ms tunnel RTT rather than 10x below it;
-* timing is K-call chaining with a host readback fence
-  (``block_until_ready`` can return before execution completes on
-  tunneled backends; the readback is the only reliable fence).  The
-  per-call cost is the SLOPE of the chain time in K, estimated as
-  (t(K_hi) - t(K_lo)) / (K_hi - K_lo) so the fixed per-dispatch/readback
-  cost cancels;
-* the slope is sampled REPS times and the median is reported; if the
-  median is non-positive or the sample spread (max/min over the middle
-  quartiles) exceeds SPREAD_LIMIT, an explicit ``error`` JSON is printed —
+* the measured program is ONE dispatch that loops the rollout kernel M
+  times on-device (fori_loop feeding the boards back through the kernel —
+  data dependence defeats CSE, the 2 MB carry is cheap), so the fixed
+  per-dispatch + readback cost is paid once per MEASUREMENT, not once per
+  chained call.  Host-chained dispatches through the tunnel showed
+  +-400 ms of per-call queuing jitter (round-3 measurement), drowning any
+  realistic per-call compute;
+* timing is fenced by a host readback (``block_until_ready`` can return
+  before execution completes on tunneled backends);
+* the per-kernel-call cost is the M-difference slope
+  (t(M_hi) - t(M_lo)) / (M_hi - M_lo), sampled REPS times; the MEDIAN is
+  reported.  If the median is non-positive or the spread of the middle
+  samples exceeds SPREAD_LIMIT, an explicit ``error`` JSON is printed —
   never a fabricated value (round-2 verdict: a max(dt, 1e-9) clamp once
   printed a 4e15 "result" when two single-sample timings crossed).
 
@@ -40,9 +41,9 @@ from lifeapi_tpu.ops import step_pallas
 
 BASELINE_STEPS_PER_SEC = 5.55e6  # reference LifeAPI.hpp:1196-1216, 1 CPU core
 
-K_LO, K_HI = 1, 9  # chain lengths; slope over (K_HI - K_LO) calls
-REPS = 7           # slope samples; median reported
-SPREAD_LIMIT = 1.5  # max/min over the inner samples (outliers trimmed)
+M_LO, M_HI = 1, 129  # on-device kernel-call loop counts; slope over the diff
+REPS = 7             # slope samples; median reported
+SPREAD_LIMIT = 1.5   # max/min over the inner samples (outliers trimmed)
 
 
 def _np_expand_even(x):
@@ -77,9 +78,12 @@ def _fail(reason, **extra):
 
 
 def main():
+    import functools
+
     on_accel = jax.devices()[0].platform != "cpu"
     B = 8192 if on_accel else 512
-    T = 4096 if on_accel else 32
+    T = 512 if on_accel else 32
+    m_lo, m_hi = (M_LO, M_HI) if on_accel else (1, 3)
 
     rng = np.random.default_rng(0)
     e0 = rng.integers(0, 2**32, size=(64, B), dtype=np.uint32)
@@ -89,6 +93,12 @@ def main():
 
     def run(a, b):
         return step_pallas.rollout_eo(a, b, T, interpret=not on_accel)
+
+    @functools.partial(jax.jit, static_argnames=("m",))
+    def run_m(a, b, m):
+        # ONE dispatch: m kernel calls chained on-device; the carry is the
+        # board state itself, so no call can be CSE'd away
+        return jax.lax.fori_loop(0, m, lambda i, c: run(*c), (a, b))
 
     # warm up (compile) and grab one output for the bit-exactness gate
     a1, b1 = run(e, o)
@@ -111,25 +121,25 @@ def main():
         _fail(f"bit-exactness gate failed: {bit_exact}")
         return
 
-    def timed_chain(k):
-        a, b = e, o
+    def timed(m):
         t0 = time.perf_counter()
-        for _ in range(k):
-            a, b = run(a, b)
+        a, _ = run_m(e, o, m)
         np.asarray(a)  # host readback = execution fence
         return time.perf_counter() - t0
 
-    timed_chain(1)  # extra warm dispatch after compile
+    timed(m_lo)  # compile both programs + warm dispatch
+    timed(m_hi)
     slopes = []
     for _ in range(REPS):
-        t_lo = timed_chain(K_LO)
-        t_hi = timed_chain(K_HI)
-        slopes.append((t_hi - t_lo) / (K_HI - K_LO))
+        t_lo = timed(m_lo)
+        t_hi = timed(m_hi)
+        slopes.append((t_hi - t_lo) / (m_hi - m_lo))
 
     median = statistics.median(slopes)
     if median <= 0:
-        _fail("non-positive median chain slope (tunnel jitter exceeds "
-              "compute); raise T or re-run", slopes_ms=[s * 1e3 for s in slopes])
+        _fail("non-positive median M-difference slope (tunnel jitter "
+              "exceeds compute); raise M_HI or re-run",
+              slopes_ms=[s * 1e3 for s in slopes])
         return
     # trim one outlier at each end, then bound the remaining spread
     inner = sorted(slopes)[1:-1]

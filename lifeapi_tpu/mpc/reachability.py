@@ -21,21 +21,31 @@ from ..stable import bitplane as BP
 
 
 def refined_rollout(cur_state, cur_unknown, stable: BP.BitStable, steps):
-    """Roll the options-refined ternary step ``steps`` generations in an
-    on-device scan.  Returns (on, unknown, unstable_ever) packed planes:
+    """Roll the TRACKED options-refined ternary step ``steps`` generations
+    in an on-device scan.  Returns (on, unknown, tracking) packed planes:
     cells in ``on`` are ON in EVERY completion of the stable background,
-    cells outside ``on | unknown`` are OFF in every completion."""
+    cells outside ``on | unknown`` are OFF in every completion.
+
+    Round-3 soundness fix: the plain refined step assumes every unknown
+    is a stable unknown, which breaks once a known cell is demoted to
+    unknown mid-rollout (brute-force verified unsound).  The tracked step
+    (stable/bitplane.step_ternary_tracked) carries a per-cell tracking
+    mask and widens neighbour-count intervals for free unknowns, keeping
+    every multi-step claim sound; the reference's dormant ``unknown_keep``
+    correction (its intended semantics) is the tracked step's ``keep``
+    output, which prevents most demotions in stable regions."""
+
+    tracking0 = BP.initial_tracking(cur_state, cur_unknown, stable)
 
     def body(carry, _):
-        s, u, unst = carry
-        s, u, step_unst = BP.step_ternary_refined(s, u, stable)
-        return (s, u, unst | step_unst), None
+        s, u, tr = carry
+        s, u, tr = BP.step_ternary_tracked(s, u, tr, stable)
+        return (s, u, tr), None
 
-    (on, unk, unst), _ = jax.lax.scan(
-        body, (cur_state, cur_unknown, jnp.zeros_like(cur_state)),
-        None, length=steps,
+    (on, unk, tr), _ = jax.lax.scan(
+        body, (cur_state, cur_unknown, tracking0), None, length=steps,
     )
-    return on, unk, unst
+    return on, unk, tr
 
 
 def hamming_bounds(on, unknown, target):

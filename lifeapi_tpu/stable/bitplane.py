@@ -650,6 +650,161 @@ def step_ternary_refined(cur_state, cur_unknown, stable: BitStable):
                                 A_cur, A_stab, U_stab)
 
 
+def refined_step_tracked_circuit(cur_on, track_unk, free_unk, tracking,
+                                 ruled, A_cur, Tn, F, A_stab, U_stab):
+    """Elementwise core of the SOUND multi-step refined ternary step.
+
+    Generalizes :func:`refined_step_circuit` by dropping its "every
+    unknown is a stable unknown" precondition, which multi-step rollouts
+    violate as soon as a known cell is demoted to unknown (verified
+    unsound in round 3: 29/51 brute-forced instances produced
+    claimed-known cells contradicting a real completion's trajectory).
+    Cells are partitioned by a ``tracking`` mask — cells whose CURRENT
+    value provably equals their stable value in every completion of the
+    background (stable-unknown cells still at their stable value count as
+    tracking-unknowns):
+
+      * known-ON / known-OFF neighbours contribute exactly their value;
+      * tracking-unknown neighbours (count ``Tn``) contribute their
+        stable bits, which the center's option pins to a SUM interval:
+        for option count n, the stable-ON count among them lies in
+        [max(0, n - A_stab - (U_stab - Tn)), min(n - A_stab, Tn)];
+      * free unknowns (count ``F``) contribute [0, F] unconstrained.
+
+    The current neighbour count is therefore a per-option INTERVAL
+    [c_lo, c_hi], and next-state possibilities are interval queries.
+    With Tn == U_stab and F == 0 the intervals degenerate and this
+    reduces exactly to :func:`refined_step_circuit`.
+
+    The ``keep`` output is the reference's dormant ``unknown_keep``
+    vocabulary (bitslicing/unknown_keep.py:17-26 intended semantics,
+    fixing its stale 3-arg ``compatible_options`` call): tracking cells
+    for which EVERY achievable option steps back to its own stable
+    value — they provably remain at their stable value next generation.
+
+    All counts are exclusive of the center.  Returns
+    ``(next_on, next_unknown, keep)``.
+    """
+    cur_unk = track_unk | free_unk
+    known_off = ~cur_on & ~cur_unk
+    track_known = tracking & ~cur_unk
+
+    AU_stab = nb.add(A_stab, U_stab)
+    # D = A_stab + (U_stab - Tn): max stable-ON neighbours outside the
+    # tracking-unknown set (Tn <= U_stab so the subtraction is safe)
+    D = nb.sub(AU_stab, Tn)
+    zero4 = nb.const(cur_on, 0)
+
+    maybe_on = jnp.zeros_like(cur_on)
+    maybe_off = jnp.zeros_like(cur_on)
+    violate = jnp.zeros_like(cur_on)
+    any_valid = jnp.zeros_like(cur_on)
+    for idx, (_, cnt, live) in enumerate(OPTIONS):
+        cnt_nib = nb.const(cur_on, cnt)
+        valid = (~ruled[idx] & nb.le_const(A_stab, cnt)
+                 & nb.ge_const(AU_stab, cnt))
+        # a tracked KNOWN center's stable value IS its current value:
+        # only options of that polarity are achievable
+        wrong_polarity = known_off if live else cur_on
+        valid = valid & ~(track_known & wrong_polarity)
+
+        # c_lo = A_cur + max(0, cnt - D);  c_hi = A_cur + min(r, Tn) + F
+        m = nb.select(nb.ge_const(D, cnt), zero4, nb.sub(cnt_nib, D))
+        r = nb.sub(cnt_nib, A_stab)  # >= 0 under the valid guard
+        c_lo = nb.add(A_cur, m, width=5)
+        c_hi = nb.add(nb.add(A_cur, nb.minimum(r, Tn), width=5), F, width=5)
+
+        int3 = nb.le_const(c_lo, 3) & nb.ge_const(c_hi, 3)
+        int2 = nb.le_const(c_lo, 2) & nb.ge_const(c_hi, 2)
+        sub23 = nb.ge_const(c_lo, 2) & nb.le_const(c_hi, 3)
+        all3 = nb.eq_const(c_lo, 3) & nb.eq_const(c_hi, 3)
+
+        # center-value hypotheses this option admits
+        live_m = ~jnp.zeros_like(cur_on) if live else jnp.zeros_like(cur_on)
+        h_on = cur_on | (track_unk & live_m) | free_unk
+        h_off = known_off | (track_unk & ~live_m) | free_unk
+
+        maybe_on = maybe_on | (valid & ((h_on & (int2 | int3))
+                                        | (h_off & int3)))
+        maybe_off = maybe_off | (valid & ((h_on & ~sub23)
+                                          | (h_off & ~all3)))
+        # keep: stepping FROM the option's own center must land back on it
+        stays = sub23 if live else ~int3
+        violate = violate | (valid & ~stays)
+        any_valid = any_valid | valid
+
+    inconsistent = ~any_valid
+    next_unknown = (maybe_on & maybe_off) | inconsistent
+    next_on = maybe_on & ~maybe_off
+    keep = tracking & any_valid & ~violate
+    return next_on, next_unknown, keep
+
+
+def initial_tracking(cur_state, cur_unknown, stable: BitStable):
+    """Cells whose current value provably equals their stable value: known
+    cells agreeing with a KNOWN stable state, plus stable-unknown cells
+    still marked unknown (they sit at their stable values by
+    construction of the rollout's initial state)."""
+    stable_known = ~stable.unknown
+    agree = ~(cur_state ^ stable.state)
+    return ((stable_known & ~cur_unknown & agree)
+            | (stable.unknown & cur_unknown))
+
+
+def step_ternary_tracked(cur_state, cur_unknown, tracking,
+                         stable: BitStable):
+    """One SOUND refined ternary step with tracking maintenance (see
+    :func:`refined_step_tracked_circuit`).  Returns
+    ``(next_state, next_unknown, next_tracking)``; iterate by feeding all
+    three back (mpc/reachability.refined_rollout)."""
+    track_unk = cur_unknown & tracking
+    free_unk = cur_unknown & ~tracking
+    A_cur = nb.sub_bit(_counts_nibble(cur_state), cur_state)
+    Tn = nb.sub_bit(_counts_nibble(track_unk), track_unk)
+    F = nb.sub_bit(_counts_nibble(free_unk), free_unk)
+    A_stab = nb.sub_bit(_counts_nibble(stable.state), stable.state)
+    U_stab = nb.sub_bit(_counts_nibble(stable.unknown), stable.unknown)
+    next_on, next_unknown, keep = refined_step_tracked_circuit(
+        cur_state, track_unk, free_unk, tracking, stable.ruled,
+        A_cur, Tn, F, A_stab, U_stab,
+    )
+    # a kept tracking cell's next value IS its stable value: keep known
+    # cells at the stable state, keep stable-unknown cells unknown
+    keep_known = keep & ~stable.unknown
+    keep_unk = keep & stable.unknown
+    next_on = ((next_on & ~keep_known) | (stable.state & keep_known)) \
+        & ~keep_unk
+    next_unknown = (next_unknown | keep_unk) & ~keep_known
+    # tracking persists through keep, and (re)starts wherever the next
+    # value is known and equals a known stable value
+    stable_known = ~stable.unknown
+    known_eq = ~next_unknown & stable_known & ~(next_on ^ stable.state)
+    next_tracking = keep | known_eq
+    return next_on, next_unknown, next_tracking
+
+
+def keep_stable(cur_state, cur_unknown, stable: BitStable):
+    """The reference's dormant ``unknown_keep`` correction mask
+    (bitslicing/unknown_keep.py intended semantics): cells that provably
+    remain at their stable value after one step, evaluated under the
+    generator's own "all unknowns are stable unknowns" precondition
+    (``cur_unknown == stable.unknown``, current values at stable
+    values)."""
+    tracking = initial_tracking(cur_state, cur_unknown, stable)
+    track_unk = cur_unknown & tracking
+    free_unk = cur_unknown & ~tracking
+    A_cur = nb.sub_bit(_counts_nibble(cur_state), cur_state)
+    Tn = nb.sub_bit(_counts_nibble(track_unk), track_unk)
+    F = nb.sub_bit(_counts_nibble(free_unk), free_unk)
+    A_stab = nb.sub_bit(_counts_nibble(stable.state), stable.state)
+    U_stab = nb.sub_bit(_counts_nibble(stable.unknown), stable.unknown)
+    _, _, keep = refined_step_tracked_circuit(
+        cur_state, track_unk, free_unk, tracking, stable.ruled,
+        A_cur, Tn, F, A_stab, U_stab,
+    )
+    return keep
+
+
 def vulnerable_circuit(state, unknown, ruled, on9, unk9):
     """Elementwise core of the ``Vulnerable`` heuristic: per-cell signal
     masks ``(v_on, v_off, vc_on, vc_off)`` from the inclusive 9-counts.
