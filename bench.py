@@ -37,6 +37,15 @@ import numpy as np
 
 import jax
 
+# Persistent compilation cache: remote compiles through the tunnel can
+# stall 10-30+ min per fresh process; a disk cache makes repeat runs
+# compile in seconds when the backend supports executable serialization.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
+
 from lifeapi_tpu.ops import step_pallas
 
 BASELINE_STEPS_PER_SEC = 5.55e6  # reference LifeAPI.hpp:1196-1216, 1 CPU core

@@ -10,9 +10,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+import statistics
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+SIMPLE = "--no-simple" not in sys.argv
 
 
 def bench_beam(B, F, iters, tile):
@@ -43,18 +47,21 @@ def bench_beam(B, F, iters, tile):
     def run():
         out = SP.beam_search_planes(
             planes0, active_row, F=F, iters=iters, minimise=True,
-            batch_tile=tile,
+            batch_tile=tile, simple_phase=SIMPLE,
         )
         return out
 
     out = run()
     found = np.asarray(out[3])[0, ::F]
-    t0 = time.perf_counter()
-    out = run()
-    np.asarray(out[2])
-    dt = time.perf_counter() - t0
+    samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = run()
+        np.asarray(out[2])
+        samples.append(time.perf_counter() - t0)
+    dt = statistics.median(samples)
     print(json.dumps({
-        "config": f"B={B} F={F} iters={iters} tile={tile}",
+        "config": f"B={B} F={F} iters={iters} tile={tile} simple={SIMPLE}",
         "solves_per_sec": B / dt,
         "found": float((found != 0).mean()),
         "vs_baseline": B / dt / 3333.0,
@@ -71,7 +78,8 @@ if __name__ == "__main__":
         (2048, 8, 16, 512),
         (8192, 4, 24, 1024),
     ]
-    if len(sys.argv) > 1:
-        configs = [tuple(int(x) for x in a.split(",")) for a in sys.argv[1:]]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if args:
+        configs = [tuple(int(x) for x in a.split(",")) for a in args]
     for B, F, iters, tile in configs:
         bench_beam(B, F, iters, tile)

@@ -26,11 +26,16 @@ B = 4096
 M = 8
 
 
-def _time_once(run, a, b):
+def _time_once(run, a, b, reps=3):
+    import statistics
+
     np.asarray(run(a, b))  # warm/compile
-    t0 = time.perf_counter()
-    np.asarray(run(a, b))
-    return time.perf_counter() - t0
+    out = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(run(a, b))
+        out.append(time.perf_counter() - t0)
+    return statistics.median(out)
 
 
 def timed_loop(make_body, label, p=0.1, feedback=True):
@@ -58,7 +63,43 @@ def timed_loop(make_body, label, p=0.1, feedback=True):
     db = jnp.asarray((rng.random((B, 64, 64)) < p).astype(np.float32))
     dt1 = _time_once(mk_run(1), dense, db)
     dt9 = _time_once(mk_run(9), dense, db)
-    dt = max(dt9 - dt1, 1e-9) / 8
+    if dt9 <= dt1:
+        print(json.dumps({"variant": label, "error":
+                          "non-positive M-difference", "m1_ms": dt1 * 1e3,
+                          "m9_ms": dt9 * 1e3}), flush=True)
+        return
+    dt = (dt9 - dt1) / 8
+    print(json.dumps({"variant": label, "conv_per_sec": B / dt,
+                      "per_iter_ms": dt * 1e3, "m1_ms": dt1 * 1e3,
+                      "vs_baseline": B / dt / 1e7}), flush=True)
+
+
+def timed_loop_packed(nb, label, p=0.02):
+    """Packed-in/packed-out library path (conv_small_packed — what
+    convolve() actually calls); roll harness on the small packed arrays."""
+    def mk_run(M):
+        @jax.jit
+        def run(pa, pb):
+            def body(i, acc):
+                out = CP.conv_small_packed(
+                    jnp.roll(pa, i, axis=-2), pb, nb=nb)
+                return acc + jnp.sum(out, dtype=jnp.uint32)
+
+            return jax.lax.fori_loop(0, M, body, jnp.uint32(0))
+
+        return run
+
+    rng = np.random.default_rng(0)
+    pa = board.from_dense(jnp.asarray(rng.random((B, 64, 64)) < p))
+    pb = board.from_dense(jnp.asarray(rng.random((B, 64, 64)) < p))
+    dt1 = _time_once(mk_run(1), pa, pb)
+    dt9 = _time_once(mk_run(9), pa, pb)
+    if dt9 <= dt1:
+        print(json.dumps({"variant": label, "error":
+                          "non-positive M-difference", "m1_ms": dt1 * 1e3,
+                          "m9_ms": dt9 * 1e3}), flush=True)
+        return
+    dt = (dt9 - dt1) / 8
     print(json.dumps({"variant": label, "conv_per_sec": B / dt,
                       "per_iter_ms": dt * 1e3, "m1_ms": dt1 * 1e3,
                       "vs_baseline": B / dt / 1e7}), flush=True)
@@ -114,6 +155,8 @@ def main():
                 a, b, nb=nb, out_or=True).astype(jnp.float32),
             f"small_single_prime nb={nb} uint8-in", p=0.02, feedback=False,
         )
+    for nb in (64, 128):
+        timed_loop_packed(nb, f"small_packed nb={nb} (library default path)")
 
 
 if __name__ == "__main__":

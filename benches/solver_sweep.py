@@ -9,9 +9,23 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+import statistics
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+SIMPLE = "--no-simple" not in sys.argv
+
+
+def _median_time(fn, reps=5):
+    fn()  # warm/compile
+    out = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        out.append(time.perf_counter() - t0)
+    return statistics.median(out)
 
 
 def bench_fixpoint(B, tile, M=20):
@@ -34,18 +48,15 @@ def bench_fixpoint(B, tile, M=20):
                 jnp.roll(st.unknown, i, axis=-2),
                 st.ruled,
             )
-            res = SP.propagate_fused_inkernel(sti, batch_tile=tile)
+            res = SP.propagate_fused_inkernel(sti, batch_tile=tile,
+                                              simple_phase=SIMPLE)
             return acc + jnp.sum(res.stable.ruled[0])
 
         return jax.lax.fori_loop(0, M, body, jnp.uint32(0))
 
-    out = run(st)
-    np.asarray(out)
-    t0 = time.perf_counter()
-    np.asarray(run(st))
-    dt = time.perf_counter() - t0
+    dt = _median_time(lambda: np.asarray(run(st)))
     print(json.dumps({
-        "config": f"fixpoint B={B} tile={tile}",
+        "config": f"fixpoint B={B} tile={tile} simple={SIMPLE}",
         "fixpoints_per_sec": B * M / dt,
         "vs_baseline": B * M / dt / 6.7e5,
     }), flush=True)
@@ -64,20 +75,19 @@ def bench_beam_e2e(B, F=4, iters=24, tile=256):
         unknown=jnp.broadcast_to(unknown, (B, 64, 2)),
     )
 
+    res = {}
+
     def run():
-        return C.complete_stable_beam(
+        res["r"] = C.complete_stable_beam(
             bst, frontier=F, iters=iters, minimise=True, dense=False,
-            batch_tile=tile,
+            batch_tile=tile, simple_phase=SIMPLE,
         )
 
-    res = run()
-    t0 = time.perf_counter()
-    res = run()
-    dt = time.perf_counter() - t0
+    dt = _median_time(run)
     print(json.dumps({
-        "config": f"beam_e2e B={B} F={F} tile={tile}",
+        "config": f"beam_e2e B={B} F={F} tile={tile} simple={SIMPLE}",
         "solves_per_sec": B / dt,
-        "found": float(res.found.mean()),
+        "found": float(res["r"].found.mean()),
         "vs_baseline": B / dt / 3333.0,
     }), flush=True)
 

@@ -406,7 +406,7 @@ _BEAM_RUN = None
 
 
 def _fused_beam_run(stable_in, seed, *, F, iters, minimise, b_pad, lane_tile,
-                    interpret, use_seed, needs_pack):
+                    interpret, use_seed, needs_pack, simple_phase=True):
     """Whole fused-beam pipeline — packing, padding, lane replication,
     the search kernel, and result extraction packed into ONE uint32
     buffer — as ONE jittable function: a call is a single device
@@ -440,7 +440,7 @@ def _fused_beam_run(stable_in, seed, *, F, iters, minimise, b_pad, lane_tile,
         SP.beam_search_planes(
             planes0, active_row, F=F, iters=iters, minimise=minimise,
             batch_tile=lane_tile, interpret=interpret,
-            seed_planes=seed_planes,
+            seed_planes=seed_planes, simple_phase=simple_phase,
         )
     )
     best = jnp.stack(
@@ -470,7 +470,7 @@ _FUSED_BEAM_JIT = None
 
 def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
                          fused=None, interpret=False, dense=True,
-                         seed=None, batch_tile=256):
+                         seed=None, batch_tile=256, simple_phase=True):
     """Batched frontier search over ``[B]`` independent problems.
 
     Each problem keeps a frontier of up to ``frontier`` candidate partial
@@ -527,7 +527,7 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
                 _fused_beam_run,
                 static_argnames=("F", "iters", "minimise", "b_pad",
                                  "lane_tile", "interpret",
-                                 "use_seed", "needs_pack"),
+                                 "use_seed", "needs_pack", "simple_phase"),
             )
         flat = B * F
         if flat >= batch_tile:
@@ -543,7 +543,7 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
             stable, seed_in, F=F, iters=iters,
             minimise=minimise, b_pad=b_pad, lane_tile=lane_tile,
             interpret=interpret, use_seed=use_seed,
-            needs_pack=needs_pack,
+            needs_pack=needs_pack, simple_phase=simple_phase,
         ))  # one readback
         best_packed = buf[:, :128].reshape(B, 64, 2)
         found = buf[:, 128] != 0

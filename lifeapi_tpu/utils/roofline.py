@@ -77,6 +77,36 @@ def pct_of_peak(achieved_lane_ops_per_s, peak=V5E_VPU_PEAK_LANE_OPS):
     return 100.0 * achieved_lane_ops_per_s / peak
 
 
+V5E_MXU_PEAK_BF16_FLOPS = 197e12  # public v5e figure, bf16
+
+
+def matmul_flops(fn, *example_args):
+    """Total dot_general FLOPs (2*M*N*K) of one evaluation of ``fn`` —
+    the MXU-side roofline numerator for the NTT convolution kernels."""
+
+    def walk(jaxpr):
+        total = 0
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "dot_general":
+                a, b = eqn.invars[0].aval, eqn.invars[1].aval
+                ((lc, rc), (lb, rb)) = eqn.params["dimension_numbers"]
+                k = int(np.prod([a.shape[i] for i in lc]))
+                batch = int(np.prod([a.shape[i] for i in lb])) if lb else 1
+                m = int(np.prod(a.shape)) // (k * batch)
+                n = int(np.prod(b.shape)) // (k * batch)
+                total += 2 * batch * m * n * k
+            for key in ("jaxpr",):
+                inner = eqn.params.get(key)
+                if inner is not None:
+                    total += walk(
+                        inner.jaxpr if hasattr(inner, "jaxpr") else inner
+                    )
+        return total
+
+    jaxpr = jax.make_jaxpr(fn)(*example_args)
+    return walk(jaxpr.jaxpr)
+
+
 # -- canned counters for the flagship kernels -------------------------------
 
 
