@@ -50,9 +50,10 @@ from lifeapi_tpu.ops import step_pallas
 
 BASELINE_STEPS_PER_SEC = 5.55e6  # reference LifeAPI.hpp:1196-1216, 1 CPU core
 
-M_LO, M_HI = 1, 129  # on-device kernel-call loop counts; slope over the diff
-REPS = 7             # slope samples; median reported
-SPREAD_LIMIT = 1.5   # max/min over the inner samples (outliers trimmed)
+M_LO, M_HI = 1, 1025  # on-device kernel-call loop counts; slope over the diff
+REPS = 5              # slope samples per round; median reported
+ROUNDS = 3            # re-measure on an unstable round (jitter is bursty)
+SPREAD_LIMIT = 1.5    # max/min over the inner samples (outliers trimmed)
 
 
 def _np_expand_even(x):
@@ -138,29 +139,30 @@ def main():
 
     timed(m_lo)  # compile both programs + warm dispatch
     timed(m_hi)
-    slopes = []
-    for _ in range(REPS):
-        t_lo = timed(m_lo)
-        t_hi = timed(m_hi)
-        slopes.append((t_hi - t_lo) / (m_hi - m_lo))
-
-    median = statistics.median(slopes)
-    if median <= 0:
-        _fail("non-positive median M-difference slope (tunnel jitter "
-              "exceeds compute); raise M_HI or re-run",
-              slopes_ms=[s * 1e3 for s in slopes])
-        return
-    # trim one outlier at each end, then bound the remaining spread
-    inner = sorted(slopes)[1:-1]
-    if inner and min(inner) > 0:
-        spread = max(inner) / min(inner)
-    else:
-        spread = float("inf")
-    if spread > SPREAD_LIMIT:
+    median = spread = None
+    all_slopes = []
+    for _ in range(ROUNDS):
+        slopes = []
+        for _ in range(REPS):
+            t_lo = timed(m_lo)
+            t_hi = timed(m_hi)
+            slopes.append((t_hi - t_lo) / (m_hi - m_lo))
+        all_slopes.append([s * 1e3 for s in slopes])
+        med = statistics.median(slopes)
+        inner = sorted(slopes)[1:-1]
+        if med > 0 and inner and min(inner) > 0:
+            spr = max(inner) / min(inner)
+        else:
+            spr = float("inf")
+        if med > 0 and spr <= SPREAD_LIMIT:
+            median, spread = med, spr
+            break
+    if median is None:
         _fail(
-            f"slope spread {spread:.2f}x exceeds {SPREAD_LIMIT}x across "
-            f"{REPS} samples; measurement unstable",
-            slopes_ms=[s * 1e3 for s in slopes],
+            f"no measurement round achieved positive median slope with "
+            f"spread <= {SPREAD_LIMIT}x ({ROUNDS} rounds x {REPS} "
+            f"samples); tunnel too unstable — never reporting a "
+            f"fabricated value", slopes_ms_rounds=all_slopes,
         )
         return
 
