@@ -73,4 +73,16 @@ def main():
 
 
 if __name__ == "__main__":
+    import os
+
+    import jax
+
+    if os.environ.get("SCALING_REAL_DEVICES") != "1":
+        # single-chip / tunneled environments: validate the collective
+        # structure on a virtual CPU mesh.  The axon plugin overrides the
+        # JAX_PLATFORMS env var, so the CPU force must happen in-process
+        # (and NEVER grab the tunneled TPU chip out from under another
+        # bench — one TPU process at a time, CLAUDE.md).
+        jax.config.update("jax_num_cpu_devices", 8)
+        jax.config.update("jax_platforms", "cpu")
     main()

@@ -55,7 +55,7 @@ def _weld(pair, dx, dy):
     return W.from_required(state, required)
 
 
-def run_pair(name, a, b, window, beam_iters_list=(24, 48, 96),
+def run_pair(name, a, b, window, beam_iters_list=(24, 96),
              batch_size=4096, host_timeout=0.05):
     """window: dense bool[64, 64] of offsets to test (rest pre-marked
     good) — keeps the host loop tractable while still covering the full
