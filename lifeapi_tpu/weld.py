@@ -271,6 +271,8 @@ def unweldable_mask(a: LifeWeld, b: LifeWeld, starting_good=None,
     from .stable import complete as C
     from .stable import host as HO
 
+    import jax
+
     known_good = starting_good if starting_good is not None else B.empty()
     known_bad = interaction_offsets(a, b)
     if starting_bad is not None:
@@ -279,19 +281,21 @@ def unweldable_mask(a: LifeWeld, b: LifeWeld, starting_good=None,
     to_test = ~known_good & ~known_bad
     bad_dense = np.array(B.to_dense(known_bad))
 
+    offsets = list(B.on_cells(to_test))
+    if not offsets:
+        return B.from_dense(jnp.asarray(bad_dense))
+
+    # ONE jitted builder for the per-offset stable problems (both
+    # engines): per-placement eager `to_stable` calls would pay one
+    # device dispatch per op per placement — hours through a tunneled
+    # backend
+    @jax.jit
+    def build(xy):
+        return jax.vmap(
+            lambda o: to_stable(a | b.moved(o[0], o[1]))
+        )(xy)
+
     if engine == "beam":
-        import jax
-
-        offsets = list(B.on_cells(to_test))
-        if not offsets:
-            return B.from_dense(jnp.asarray(bad_dense))
-
-        @jax.jit
-        def build(xy):
-            return jax.vmap(
-                lambda o: to_stable(a | b.moved(o[0], o[1]))
-            )(xy)
-
         for lo in range(0, len(offsets), batch_size):
             chunk = offsets[lo:lo + batch_size]
             padded = chunk + [chunk[0]] * (batch_size - len(chunk))
@@ -305,15 +309,24 @@ def unweldable_mask(a: LifeWeld, b: LifeWeld, starting_good=None,
                     bad_dense[x, y] = True
         return B.from_dense(jnp.asarray(bad_dense))
 
-    for x, y in B.on_cells(to_test):
-        placed = a | b.moved(x, y)
-        st = to_stable(placed)
-        host_st = HO.HostStable(
-            np.asarray(st.state), np.asarray(st.unknown), np.asarray(st.ruled)
-        )
-        result, _ = C.complete_stable(host_st, timeout=solve_timeout, minimise=False)
-        if result == C.CompletionResult.INCONSISTENT:
-            bad_dense[x, y] = True
+    # host engine (reference-faithful loop, LifeWeld.hpp:256-274): build
+    # problems in device batches, read back once, DFS purely on numpy
+    for lo in range(0, len(offsets), batch_size):
+        chunk = offsets[lo:lo + batch_size]
+        padded = chunk + [chunk[0]] * (batch_size - len(chunk))
+        sts = build(jnp.asarray(padded, jnp.int32))
+        states = np.asarray(sts.state)
+        unknowns = np.asarray(sts.unknown)
+        ruleds = np.asarray(sts.ruled)
+        for i, (x, y) in enumerate(chunk):
+            host_st = HO.HostStable(
+                states[i].copy(), unknowns[i].copy(), ruleds[i].copy()
+            )
+            result, _ = C.complete_stable(
+                host_st, timeout=solve_timeout, minimise=False
+            )
+            if result == C.CompletionResult.INCONSISTENT:
+                bad_dense[x, y] = True
     return B.from_dense(jnp.asarray(bad_dense))
 
 
