@@ -250,6 +250,12 @@ def to_stable_with_history(weld: LifeWeld, active, duration, mask=None):
     return st
 
 
+@jax.jit
+def _build_placements(a: LifeWeld, b: LifeWeld, xy):
+    """Per-offset welded stable problems, one fused dispatch per batch."""
+    return jax.vmap(lambda o: to_stable(a | b.moved(o[0], o[1])))(xy)
+
+
 def unweldable_mask(a: LifeWeld, b: LifeWeld, starting_good=None,
                     starting_bad=None, solve_timeout=0.05, engine="host",
                     batch_size=256, beam_frontier=4, beam_iters=48):
@@ -288,12 +294,9 @@ def unweldable_mask(a: LifeWeld, b: LifeWeld, starting_good=None,
     # ONE jitted builder for the per-offset stable problems (both
     # engines): per-placement eager `to_stable` calls would pay one
     # device dispatch per op per placement — hours through a tunneled
-    # backend
-    @jax.jit
+    # backend.  Module-level jit so repeat calls reuse the executable.
     def build(xy):
-        return jax.vmap(
-            lambda o: to_stable(a | b.moved(o[0], o[1]))
-        )(xy)
+        return _build_placements(a, b, xy)
 
     if engine == "beam":
         for lo in range(0, len(offsets), batch_size):
