@@ -208,12 +208,21 @@ def _simple_quiescence(planes, alive, max_iters):
     505-524): iterate the 2-plane state/unknown-only rule
     (stable/bitplane.simple_circuit) until no active lane changes.  Each
     iteration costs two 9-counts plus a ~60-op elementwise circuit —
-    roughly a quarter of the full sync+update+signal step — and reaches
-    the same quiescence on pure forced-cell chains, so the expensive full
-    pass runs fewer times.  Only the state/unknown planes change; the
-    next full pass's synchronise reconciles the ruled planes (same
-    contract as the dense/packed jnp paths).  Returns
-    (planes, aborted, changed) lane masks."""
+    about 42% of the full sync+update+signal step (utils/roofline) — and
+    reaches the same quiescence on pure forced-cell chains.  Only the
+    state/unknown planes change; the next full pass's synchronise
+    reconciles the ruled planes (same contract as the dense/packed jnp
+    paths).  Returns (planes, aborted, changed) lane masks.
+
+    Measured on v5e (round 3, benches/solver_sweep.py + beam_sweep.py
+    --no-simple A/B): the phase LOSES ~14% on the fixpoint workload
+    (7.55e6 -> 6.47e6 fixpoints/s) and ~13% on the beam at B=8192
+    (132.1k -> 114.4k solves/s): these workloads' deductions are
+    update/signal-bound, the cheap rule converges immediately with no
+    deductions, and every outer iteration still pays the inner
+    while_loop.  Hence ``simple_phase`` DEFAULTS TO OFF; the phase is
+    kept (and tested for fixpoint equality) for workloads with long
+    forced-cell chains where the reference's PropagateSimple pays."""
     zeros = jnp.zeros_like(planes[0])
 
     def lane_any(plane):
@@ -268,7 +277,7 @@ def _simple_quiescence(planes, alive, max_iters):
     return (sl, sh, ul, uh) + tuple(planes[4:]), s_abort, s_changed
 
 
-def _run_fixpoint(planes, max_iters, alive0=None, simple_phase=True):
+def _run_fixpoint(planes, max_iters, alive0=None, simple_phase=False):
     """In-VMEM propagate fixpoint: loop the step until no active board in
     the tile changes.  Returns (planes, aborted, changed_ever) with
     aborted/changed as per-lane uint32 bitmasks (lane-constant).
@@ -277,7 +286,9 @@ def _run_fixpoint(planes, max_iters, alive0=None, simple_phase=True):
     the cheap 2-plane rule to quiescence before each full pass (reference
     ``PropagateSimple`` composition); the fixpoint reached is identical —
     every simple-rule deduction is also made by the full circuit — so
-    this is purely a speed knob (asserted by tests/test_stable_pallas)."""
+    this is purely a speed knob (asserted by tests/test_stable_pallas).
+    Default OFF: measured to lose 13-14% on the standard workloads (see
+    _simple_quiescence)."""
     ones = ~jnp.zeros_like(planes[0])
     zeros = jnp.zeros_like(planes[0])
 
@@ -321,7 +332,7 @@ def _run_fixpoint(planes, max_iters, alive0=None, simple_phase=True):
     return planes, aborted, changed_ever
 
 
-def _fixpoint_kernel(*refs, max_iters, simple_phase=True):
+def _fixpoint_kernel(*refs, max_iters, simple_phase=False):
     """Entire propagate fixpoint in VMEM.  Outputs the final planes plus
     per-lane consistent / changed bitmasks (uint32[64, Bt])."""
     ins = refs[:20]
@@ -391,7 +402,7 @@ def _priority_planes(planes):
     return tuple(res)
 
 
-def _fixpoint_beam_kernel(*refs, max_iters, simple_phase=True):
+def _fixpoint_beam_kernel(*refs, max_iters, simple_phase=False):
     """Fixpoint + branch-priority masks in one kernel (the beam search's
     whole per-round device work on the 10-plane state)."""
     ins = refs[:20]
@@ -456,7 +467,7 @@ def _from_kernel_planes(planes):
                                              "interpret", "simple_phase"))
 def propagate_fused_inkernel(bst: BP.BitStable, max_iters=256,
                              batch_tile=128, interpret=False,
-                             simple_phase=True):
+                             simple_phase=False):
     """Whole propagate fixpoint in ONE pallas call: the while_loop runs in
     VMEM, boards in a tile iterate until the slowest converges.  Contract:
     per-board (consistent, changed); planes of INCONSISTENT boards are
@@ -487,7 +498,7 @@ def propagate_fused_inkernel(bst: BP.BitStable, max_iters=256,
 @functools.partial(jax.jit, static_argnames=("max_iters", "batch_tile",
                                              "interpret", "simple_phase"))
 def propagate_fused_beam_planes(planes, max_iters=256, batch_tile=128,
-                                interpret=False, simple_phase=True):
+                                interpret=False, simple_phase=False):
     """Kernel-layout variant of :func:`propagate_fused_beam`: takes and
     returns 20 uint32[64, L] half-planes directly (no packing transposes).
     Returns ``(new_planes, changed[64, L], consistent[64, L], prio)`` where
@@ -517,7 +528,7 @@ def propagate_fused_beam_planes(planes, max_iters=256, batch_tile=128,
 @functools.partial(jax.jit, static_argnames=("max_iters", "batch_tile",
                                              "interpret", "simple_phase"))
 def propagate_fused_beam(bst: BP.BitStable, max_iters=256, batch_tile=128,
-                         interpret=False, simple_phase=True):
+                         interpret=False, simple_phase=False):
     """Propagate fixpoint AND branch-priority masks in ONE pallas call.
     Returns ``(BitPropagateResult, levels)`` where ``levels`` is the
     4-tuple of packed masks from stable/bitplane.branch_levels evaluated
@@ -650,7 +661,7 @@ def _greduce(x, F, op):
 
 
 def _beam_kernel(*refs, F, iters, minimise, max_fix_iters, use_seed=False,
-                 simple_phase=True):
+                 simple_phase=False):
     act_ref = refs[0]
     in_planes = refs[1:21]
     if use_seed:
@@ -863,7 +874,7 @@ def _beam_kernel(*refs, F, iters, minimise, max_fix_iters, use_seed=False,
                                              "simple_phase"))
 def beam_search_planes(planes, active_row, *, F, iters, minimise,
                        batch_tile=128, interpret=False, max_fix_iters=256,
-                       seed_planes=None, simple_phase=True):
+                       seed_planes=None, simple_phase=False):
     """Run the ENTIRE beam completion search in one pallas_call.
 
     ``planes``: 20 uint32[64, L] half-planes (L = B*F lanes, slot index

@@ -406,7 +406,7 @@ _BEAM_RUN = None
 
 
 def _fused_beam_run(stable_in, seed, *, F, iters, minimise, b_pad, lane_tile,
-                    interpret, use_seed, needs_pack, simple_phase=True):
+                    interpret, use_seed, needs_pack, simple_phase=False):
     """Whole fused-beam pipeline — packing, padding, lane replication,
     the search kernel, and result extraction packed into ONE uint32
     buffer — as ONE jittable function: a call is a single device
@@ -470,7 +470,7 @@ _FUSED_BEAM_JIT = None
 
 def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
                          fused=None, interpret=False, dense=True,
-                         seed=None, batch_tile=256, simple_phase=True):
+                         seed=None, batch_tile=256, simple_phase=False):
     """Batched frontier search over ``[B]`` independent problems.
 
     Each problem keeps a frontier of up to ``frontier`` candidate partial
