@@ -61,14 +61,16 @@ def timed_loop(make_body, label, p=0.1, feedback=True):
     rng = np.random.default_rng(0)
     dense = jnp.asarray((rng.random((B, 64, 64)) < p).astype(np.float32))
     db = jnp.asarray((rng.random((B, 64, 64)) < p).astype(np.float32))
+    # M=129: ~40-170 ms of differential compute — small Ms drown in the
+    # tunnel's bursty tens-of-ms dispatch jitter (round-3 finding)
     dt1 = _time_once(mk_run(1), dense, db)
-    dt9 = _time_once(mk_run(9), dense, db)
+    dt9 = _time_once(mk_run(129), dense, db)
     if dt9 <= dt1:
         print(json.dumps({"variant": label, "error":
                           "non-positive M-difference", "m1_ms": dt1 * 1e3,
                           "m9_ms": dt9 * 1e3}), flush=True)
         return
-    dt = (dt9 - dt1) / 8
+    dt = (dt9 - dt1) / 128
     print(json.dumps({"variant": label, "conv_per_sec": B / dt,
                       "per_iter_ms": dt * 1e3, "m1_ms": dt1 * 1e3,
                       "vs_baseline": B / dt / 1e7}), flush=True)
@@ -93,13 +95,13 @@ def timed_loop_packed(nb, label, p=0.02):
     pa = board.from_dense(jnp.asarray(rng.random((B, 64, 64)) < p))
     pb = board.from_dense(jnp.asarray(rng.random((B, 64, 64)) < p))
     dt1 = _time_once(mk_run(1), pa, pb)
-    dt9 = _time_once(mk_run(9), pa, pb)
+    dt9 = _time_once(mk_run(129), pa, pb)
     if dt9 <= dt1:
         print(json.dumps({"variant": label, "error":
                           "non-positive M-difference", "m1_ms": dt1 * 1e3,
                           "m9_ms": dt9 * 1e3}), flush=True)
         return
-    dt = (dt9 - dt1) / 8
+    dt = (dt9 - dt1) / 128
     print(json.dumps({"variant": label, "conv_per_sec": B / dt,
                       "per_iter_ms": dt * 1e3, "m1_ms": dt1 * 1e3,
                       "vs_baseline": B / dt / 1e7}), flush=True)
@@ -155,8 +157,10 @@ def main():
                 a, b, nb=nb, out_or=True).astype(jnp.float32),
             f"small_single_prime nb={nb} uint8-in", p=0.02, feedback=False,
         )
-    for nb in (64, 128):
-        timed_loop_packed(nb, f"small_packed nb={nb} (library default path)")
+    # nb=128 packed exceeds the 16 MB scoped-VMEM limit (measured round
+    # 3) — the packed kernel holds unpack + byte-pack buffers on top of
+    # the transform stacks; nb=64 is the packed-path maximum.
+    timed_loop_packed(64, "small_packed nb=64 (library default path)")
 
 
 if __name__ == "__main__":

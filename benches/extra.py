@@ -123,10 +123,13 @@ def bench_beam_complete(B=8192):
 
     res = run()  # warm (complete_stable_beam jits internally)
     found = float(np.asarray(res.found).mean())
-    t0 = time.perf_counter()
-    res = run()
-    np.asarray(res.best_pop)
-    dt = time.perf_counter() - t0
+    samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        res = run()
+        np.asarray(res.best_pop)
+        samples.append(time.perf_counter() - t0)
+    dt = statistics.median(samples)
     solves_per_sec = B / dt
     print(json.dumps({
         "metric": "complete_stable_solves_per_sec",

@@ -278,13 +278,19 @@ def _conv_kernel_small_packed(a_ref, b_ref, w_ref, v_ref, p_ref, out_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("nb", "interpret"))
-def conv_small_packed(pa, pb, nb=128, interpret=False):
+def conv_small_packed(pa, pb, nb=64, interpret=False):
     """Single-prime fused OR-convolution on PACKED boards: uint32
     [B, 64, 2] in, uint32 [B, 64, 2] out — no dense materialization on
     either side (in-kernel bit expansion + byte-matmul packing), so the
     library-level call costs kernel-rate, not pack/unpack-rate.  Exact
     iff every count < 193 (the Match/pattern family guarantee), like
-    conv_small_fused."""
+    conv_small_fused.
+
+    ``nb`` stays at 64: nb=128 was tried (round-2 advisor suggestion —
+    the dense-input kernel's knee) and exceeds the 16 MB scoped-VMEM
+    limit by 4 MB (measured, benches/conv_sweep.py round 3): this kernel
+    additionally holds the unpacked bit fields and the byte-matmul
+    packing buffers that the dense-input kernel does not."""
     B = pa.shape[0]
     nb = min(nb, B)
     if nb % 2:
