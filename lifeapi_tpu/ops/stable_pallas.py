@@ -661,15 +661,20 @@ def _greduce(x, F, op):
 
 
 def _beam_kernel(*refs, F, iters, minimise, max_fix_iters, use_seed=False,
-                 simple_phase=False):
+                 simple_phase=False, use_bound=False):
     act_ref = refs[0]
-    in_planes = refs[1:21]
+    idx = 1
+    if use_bound:
+        bound_ref = refs[1]
+        idx = 2
+    in_planes = refs[idx:idx + 20]
+    idx += 20
     if use_seed:
-        seed_lo0, seed_hi0 = refs[21][:], refs[22][:]
-        out_refs = refs[23:]
+        seed_lo0, seed_hi0 = refs[idx][:], refs[idx + 1][:]
+        idx += 2
     else:
         seed_lo0 = seed_hi0 = None
-        out_refs = refs[21:]
+    out_refs = refs[idx:]
     (best_lo_ref, best_hi_ref, best_pop_ref, found_ref, complete_ref,
      active_any_ref) = out_refs
 
@@ -849,7 +854,14 @@ def _beam_kernel(*refs, F, iters, minimise, max_fix_iters, use_seed=False,
 
     best_lo0 = jnp.zeros((64, T), U32)
     best_hi0 = jnp.zeros((64, T), U32)
-    best_pop0 = jnp.full((1, T), _INT32_MAX, jnp.int32)
+    if use_bound:
+        # branch-and-bound with a known incumbent (reference re-minimise
+        # seeds maxPop with the first pass's best, LifeStable.hpp:1444):
+        # candidates at/above the bound prune immediately; `found` stays
+        # false unless a strictly better completion is found
+        best_pop0 = bound_ref[:][0:1, :]
+    else:
+        best_pop0 = jnp.full((1, T), _INT32_MAX, jnp.int32)
     found0 = jnp.zeros((1, T), U32)
     complete0 = jnp.full((1, T), FULL, U32)
     out = jax.lax.while_loop(
@@ -874,7 +886,8 @@ def _beam_kernel(*refs, F, iters, minimise, max_fix_iters, use_seed=False,
                                              "simple_phase"))
 def beam_search_planes(planes, active_row, *, F, iters, minimise,
                        batch_tile=128, interpret=False, max_fix_iters=256,
-                       seed_planes=None, simple_phase=False):
+                       seed_planes=None, simple_phase=False,
+                       bound_row=None):
     """Run the ENTIRE beam completion search in one pallas_call.
 
     ``planes``: 20 uint32[64, L] half-planes (L = B*F lanes, slot index
@@ -902,14 +915,18 @@ def beam_search_planes(planes, active_row, *, F, iters, minimise,
         jax.ShapeDtypeStruct((8, L), U32),
     )
     use_seed = seed_planes is not None
+    use_bound = bound_row is not None
     seed_in = tuple(seed_planes) if use_seed else ()
+    bound_in = (bound_row,) if use_bound else ()
+    ispec = pl.BlockSpec((8, batch_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_beam_kernel, F=F, iters=iters, minimise=minimise,
                           max_fix_iters=max_fix_iters, use_seed=use_seed,
-                          simple_phase=simple_phase),
+                          simple_phase=simple_phase, use_bound=use_bound),
         out_shape=out_shapes,
         grid=grid,
-        in_specs=[rspec] + [pspec] * (20 + 2 * use_seed),
+        in_specs=[rspec] + [ispec] * use_bound + [pspec] * (20 + 2 * use_seed),
         out_specs=(pspec, pspec, rspec, rspec, rspec, rspec),
         interpret=interpret,
-    )(active_row, *planes, *seed_in)
+    )(active_row, *bound_in, *planes, *seed_in)

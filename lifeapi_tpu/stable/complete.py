@@ -358,7 +358,8 @@ def _beam_search_core(cur0, active0, best0, best_pop0, found0, seed, iters,
     return jax.lax.while_loop(cond, loop_body, carry)[:-1]
 
 
-def beam_search_jnp(bst0, frontier, iters, minimise, seed=None):
+def beam_search_jnp(bst0, frontier, iters, minimise, seed=None,
+                    init_bound=None):
     """Pure-jnp batched beam search over packed BitStable problems —
     composable under jit AND shard_map (the sharded solver path,
     parallel/elite.sharded_beam_complete).  Returns jnp arrays
@@ -380,7 +381,11 @@ def beam_search_jnp(bst0, frontier, iters, minimise, seed=None):
     )
     active0 = jnp.zeros((B, F), bool).at[:, 0].set(True)
     best0 = jnp.zeros((B, N, 2), jnp.uint32)
-    best_pop0 = jnp.full((B,), jnp.iinfo(jnp.int32).max, jnp.int32)
+    if init_bound is None:
+        best_pop0 = jnp.full((B,), jnp.iinfo(jnp.int32).max, jnp.int32)
+    else:
+        best_pop0 = jnp.broadcast_to(
+            jnp.asarray(init_bound, jnp.int32), (B,))
     found0 = jnp.zeros((B,), bool)
     seed0 = (jnp.zeros((B, N, 2), jnp.uint32) if seed is None
              else jnp.broadcast_to(seed, (B, N, 2)))
@@ -405,8 +410,9 @@ def _make_beam_runner():
 _BEAM_RUN = None
 
 
-def _fused_beam_run(stable_in, seed, *, F, iters, minimise, b_pad, lane_tile,
-                    interpret, use_seed, needs_pack, simple_phase=False):
+def _fused_beam_run(stable_in, seed, bound, *, F, iters, minimise, b_pad,
+                    lane_tile, interpret, use_seed, needs_pack,
+                    simple_phase=False, use_bound=False):
     """Whole fused-beam pipeline — packing, padding, lane replication,
     the search kernel, and result extraction packed into ONE uint32
     buffer — as ONE jittable function: a call is a single device
@@ -436,11 +442,20 @@ def _fused_beam_run(stable_in, seed, *, F, iters, minimise, b_pad, lane_tile,
         jnp.where(act, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))[None, :],
         (8, L),
     )
+    bound_row = None
+    if use_bound:
+        bnd = jnp.asarray(bound, jnp.int32)
+        if b_pad != B:
+            bnd = jnp.pad(bnd, (0, b_pad - B),
+                          constant_values=jnp.iinfo(jnp.int32).max)
+        bound_row = jnp.broadcast_to(
+            jnp.repeat(bnd, F)[None, :], (8, L))
     best_lo, best_hi, best_pop_r, found_r, complete_r, active_any = (
         SP.beam_search_planes(
             planes0, active_row, F=F, iters=iters, minimise=minimise,
             batch_tile=lane_tile, interpret=interpret,
             seed_planes=seed_planes, simple_phase=simple_phase,
+            bound_row=bound_row,
         )
     )
     best = jnp.stack(
@@ -470,7 +485,8 @@ _FUSED_BEAM_JIT = None
 
 def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
                          fused=None, interpret=False, dense=True,
-                         seed=None, batch_tile=256, simple_phase=False):
+                         seed=None, batch_tile=256, simple_phase=False,
+                         init_bound=None):
     """Batched frontier search over ``[B]`` independent problems.
 
     Each problem keeps a frontier of up to ``frontier`` candidate partial
@@ -527,7 +543,8 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
                 _fused_beam_run,
                 static_argnames=("F", "iters", "minimise", "b_pad",
                                  "lane_tile", "interpret",
-                                 "use_seed", "needs_pack", "simple_phase"),
+                                 "use_seed", "needs_pack", "simple_phase",
+                                 "use_bound"),
             )
         flat = B * F
         if flat >= batch_tile:
@@ -537,13 +554,18 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
         else:
             b_pad, lane_tile = B, flat
         use_seed = seed is not None
+        use_bound = init_bound is not None
         seed_in = (jnp.zeros((B, 64, 2), jnp.uint32) if seed is None
                    else jnp.broadcast_to(seed, (B, 64, 2)))
+        bound_in = (jnp.zeros((B,), jnp.int32) if init_bound is None
+                    else jnp.broadcast_to(
+                        jnp.asarray(init_bound, jnp.int32), (B,)))
         buf = np.asarray(_FUSED_BEAM_JIT(
-            stable, seed_in, F=F, iters=iters,
+            stable, seed_in, bound_in, F=F, iters=iters,
             minimise=minimise, b_pad=b_pad, lane_tile=lane_tile,
             interpret=interpret, use_seed=use_seed,
             needs_pack=needs_pack, simple_phase=simple_phase,
+            use_bound=use_bound,
         ))  # one readback
         best_packed = buf[:, :128].reshape(B, 64, 2)
         found = buf[:, 128] != 0
@@ -569,6 +591,9 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
     best_pop0 = jnp.full((B,), jnp.iinfo(jnp.int32).max, jnp.int32)
     found0 = jnp.zeros((B,), bool)
 
+    if init_bound is not None:
+        best_pop0 = jnp.broadcast_to(
+            jnp.asarray(init_bound, jnp.int32), (B,))
     seed0 = (jnp.zeros((B, N, 2), jnp.uint32) if seed is None
              else jnp.broadcast_to(seed, (B, N, 2)))
     out = _BEAM_RUN(cur0, active0, best0, best_pop0, found0, seed0,
@@ -689,7 +714,7 @@ def complete_stable_portfolio(state, unknown, key, replicas=256, frontier=4,
         res2 = complete_stable_beam(
             BP.make(state=st_r2, unknown=un_r2), frontier=frontier,
             iters=iters, minimise=True, fused=fused, interpret=interpret,
-            dense=False, seed=seed_r,
+            dense=False, seed=seed_r, init_bound=best_pop,
         )
         pop2, champ2 = _portfolio_champion(res2, dx, dy)
         if pop2 is not None and pop2 < best_pop:

@@ -352,3 +352,33 @@ def test_beam_fused_random_instances_match_jnp(rng):
     assert (got.best_pop == ref.best_pop).all()
     assert (got.best == ref.best).all()
     assert (got.proved_inconsistent == ref.proved_inconsistent).all()
+
+
+def test_beam_init_bound():
+    """init_bound = branch-and-bound with a known incumbent: candidates
+    at/above the bound prune; found means strictly better."""
+    eater = board.move(rle.parse("2b2o$bobo$bo$2o!"), 20, 20)
+    hide = board.from_cells([(20, 20), (21, 20)])
+    unknown = (board.zoi(eater) & ~eater) | hide
+    from lifeapi_tpu.stable import complete as C
+
+    bst = BP.make(
+        state=jnp.broadcast_to(eater & ~hide, (4, 64, 2)),
+        unknown=jnp.broadcast_to(unknown, (4, 64, 2)),
+    )
+    # fused + jnp paths: bound 7 (the minimum) -> nothing strictly better
+    for fused in (True, False):
+        r_tight = C.complete_stable_beam(
+            bst, frontier=4, iters=24, minimise=True, fused=fused,
+            interpret=_interp() if fused else False, dense=False,
+            init_bound=7,
+        )
+        assert not r_tight.found.any(), fused
+        # bound 8: the pop-7 eater must be found
+        r_loose = C.complete_stable_beam(
+            bst, frontier=4, iters=24, minimise=True, fused=fused,
+            interpret=_interp() if fused else False, dense=False,
+            init_bound=8,
+        )
+        assert r_loose.found.all(), fused
+        assert (np.asarray(r_loose.best_pop) == 7).all(), fused
