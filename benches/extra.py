@@ -192,7 +192,7 @@ def bench_convolve(B=4096, M=8):
     }), flush=True)
 
 
-def bench_convolve_sparse(B=4096, M=2048, cells=7):
+def bench_convolve_sparse(B=65536, M=256, cells=7):
     """Shift-OR sparse convolution with a host-known 7-cell pattern — the
     apples-to-apples comparison against the reference's ~1e7 conv/s:
     run-decomposition there and the packed shift-OR here BOTH exploit
