@@ -120,7 +120,8 @@ def sharded_scenario_sweep(problems_initial, target, horizon, control_mask,
     return run(problems_initial, logits0)
 
 
-def sharded_beam_complete(bst, mesh, frontier=4, iters=32, minimise=True):
+def sharded_beam_complete(bst, mesh, frontier=4, iters=32, minimise=True,
+                          two_phase=False):
     """Stable-completion beam search data-parallel over the WHOLE mesh,
     with a cross-device champion exchange — the sharded counterpart of
     stable/complete.complete_stable_beam (SURVEY.md section 2.8: sharded
@@ -132,6 +133,14 @@ def sharded_beam_complete(bst, mesh, frontier=4, iters=32, minimise=True):
     device-unique key and broadcast by psum (the single winning device
     contributes the board).  Returns (found[B], best[B, 64, 2],
     best_pop[B], champion board [64, 2], champion pop []).
+
+    ``two_phase``: after the exchange, every device re-searches its shard
+    BOUNDED by the global champion's population (init_bound) — the elite
+    exchange feeding back into the search as a branch-and-bound incumbent
+    (collectives pruning compute, not just reporting it).  Only the
+    CHAMPION outputs are refined: per-problem found/best/pop keep phase-1
+    semantics (a cross-problem bound would wrongly suppress per-problem
+    completions above the global champion).
     """
     from ..stable import complete as C
 
@@ -147,23 +156,38 @@ def sharded_beam_complete(bst, mesh, frontier=4, iters=32, minimise=True):
         check_vma=False,
     )
     def run(bst_local):
-        found, best, pop, proved = C.beam_search_jnp(
-            bst_local, frontier, iters, minimise
-        )
-        key = jnp.where(found, jnp.minimum(pop, SENTINEL), SENTINEL)
-        li = jnp.argmin(key)
         rank = (jax.lax.axis_index(SCENARIO_AXIS)
                 * jax.lax.axis_size(CANDIDATE_AXIS)
                 + jax.lax.axis_index(CANDIDATE_AXIS))
-        # device-unique combined key makes the winner unique, so the psum
-        # below has exactly one nonzero contributor (pop <= 4096 keeps
-        # this well inside int32)
-        combined = key[li] * n_dev + rank
-        gmin = jax.lax.pmin(combined, both)
-        champ_local = jnp.where(combined == gmin, best[li],
-                                jnp.zeros_like(best[li]))
-        champ = jax.lax.psum(champ_local, both)
-        champ_pop = gmin // n_dev
+
+        def exchange(found_x, best_x, pop_x):
+            key = jnp.where(found_x, jnp.minimum(pop_x, SENTINEL), SENTINEL)
+            li = jnp.argmin(key)
+            # device-unique combined key makes the winner unique, so the
+            # psum below has exactly one nonzero contributor (pop <= 4096
+            # keeps this well inside int32)
+            combined = key[li] * n_dev + rank
+            gmin = jax.lax.pmin(combined, both)
+            champ_local = jnp.where(combined == gmin, best_x[li],
+                                    jnp.zeros_like(best_x[li]))
+            champ = jax.lax.psum(champ_local, both)
+            return champ, gmin // n_dev
+
+        found, best, pop, proved = C.beam_search_jnp(
+            bst_local, frontier, iters, minimise
+        )
+        champ, champ_pop = exchange(found, best, pop)
+
+        if two_phase:
+            f2, b2, p2, _ = C.beam_search_jnp(
+                bst_local, frontier, iters, minimise,
+                init_bound=champ_pop,
+            )
+            champ2, champ2_pop = exchange(f2, b2, p2)
+            improved = champ2_pop < champ_pop
+            champ = jnp.where(improved, champ2, champ)
+            champ_pop = jnp.where(improved, champ2_pop, champ_pop)
+
         return found, best, pop, champ, champ_pop
 
     bst_in = type(bst)(bst.state, bst.unknown, tuple(bst.ruled))

@@ -97,6 +97,36 @@ def test_sharded_beam_complete_matches_unsharded(mesh8):
     assert (np.asarray(champ) == np.asarray(ref_best)[0]).all()
 
 
+def test_sharded_beam_two_phase(mesh8):
+    """two_phase: the champion exchange bounds a second pass; the refined
+    champion can only be at least as good, per-problem outputs keep
+    phase-1 semantics, and the champion stays a valid still life."""
+    from lifeapi_tpu.core.step import step as life_step
+    from lifeapi_tpu.stable import bitplane as BP
+
+    eater = board.move(rle.parse("2b2o$bobo$bo$2o!"), 20, 20)
+    hide = board.from_cells([(20, 20), (21, 20)])
+    unknown = (board.zoi(eater) & ~eater) | hide
+    B = 8
+    bst = BP.make(
+        state=jnp.broadcast_to(eater & ~hide, (B, 64, 2)),
+        unknown=jnp.broadcast_to(unknown, (B, 64, 2)),
+    )
+    f1, b1, p1, c1, cp1 = elite.sharded_beam_complete(
+        bst, mesh8, frontier=4, iters=16, minimise=True
+    )
+    f2, b2, p2, c2, cp2 = elite.sharded_beam_complete(
+        bst, mesh8, frontier=4, iters=16, minimise=True, two_phase=True
+    )
+    assert (np.asarray(f1) == np.asarray(f2)).all()
+    assert (np.asarray(p1) == np.asarray(p2)).all()
+    assert (np.asarray(b1) == np.asarray(b2)).all()
+    assert int(cp2) <= int(cp1)
+    champ = jnp.asarray(np.asarray(c2))
+    assert bool(board.equal(life_step(champ), champ))
+    assert int(board.population(champ)) == int(cp2)
+
+
 def test_sharded_rollout(mesh8):
     from lifeapi_tpu.core import step as S
 
