@@ -15,7 +15,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-SIMPLE = "--no-simple" not in sys.argv
+SIMPLE = "--simple" in sys.argv  # library default: off
 
 
 def _median_time(fn, reps=5):
