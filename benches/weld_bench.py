@@ -82,6 +82,7 @@ def run_pair(name, a, b, window, beam_iters_list=(24, 96),
             beam_s = time.perf_counter() - t0
         beam_marked = beam_bad & window & ~inter
         n_beam = int(beam_marked.sum())
+        n_both = int((beam_marked & host_marked).sum())
         unsound = int((beam_marked & ~host_marked).sum())
         print(json.dumps({
             "metric": f"unweldable_{name}_beam{iters}",
@@ -92,11 +93,12 @@ def run_pair(name, a, b, window, beam_iters_list=(24, 96),
             "placements_tested": n_test,
             "dfs_marked_bad": n_host,
             "beam_proved_bad": n_beam,
-            "coverage": round(n_beam / n_host, 4) if n_host else None,
+            "coverage": round(n_both / n_host, 4) if n_host else None,
             "beam_marked_not_in_dfs": unsound,
-            "note": "coverage = beam-proved / DFS-marked bad placements; "
+            "note": "coverage = |beam-proved AND DFS-marked| / DFS-marked; "
                     "beam marks are sound proofs (never wrong), DFS marks "
-                    "are 0.05s-budget refutations",
+                    "are 0.05s-budget refutations; beam_marked_not_in_dfs "
+                    "are sound proofs the DFS budget timed out on",
         }), flush=True)
 
 
