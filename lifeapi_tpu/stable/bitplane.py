@@ -131,12 +131,38 @@ def set_off(bst: BitStable, which):
     return BitStable(bst.state & ~which, bst.unknown & ~which, tuple(ruled))
 
 
+def _gt_thresholds7(x):
+    """``[x > c for c in 0..6]`` for a width-4 nibble as ONE shared
+    circuit (12 ops vs 7 independent gt_const evaluations at ~8 ops
+    each).  Exact for all 16 nibble values; exhaustively tested
+    (tests/test_bitplane.py)."""
+    b0, b1, b2, b3 = (x + (jnp.zeros_like(x[0]),) * 4)[:4]
+    or01 = b1 | b0
+    and10 = b1 & b0
+    hi = b2 | b3
+    return (
+        hi | or01,           # x > 0
+        hi | b1,             # x > 1
+        hi | and10,          # x > 2
+        hi,                  # x > 3
+        b3 | (b2 & or01),    # x > 4
+        b3 | (b2 & b1),      # x > 5
+        b3 | (b2 & and10),   # x > 6
+    )
+
+
 def _maximal_ruled_planes(A, AU, center_on, known_off):
     """Per-option ruled-out planes from the interval [A, AU] and the
-    center's three-state (the vector maximal_options on planes)."""
+    center's three-state (the vector maximal_options on planes).
+    ``ruled(cnt) = A > cnt  |  AU < cnt`` with both threshold families
+    shared across the 8 options (thermometer decode)."""
+    gtA = _gt_thresholds7(A)
+    geAU = _gt_thresholds7(AU)  # AU > c  <=>  AU >= c+1
     out = []
     for idx, (_, cnt, live) in enumerate(OPTIONS):
-        ruled = nb.gt_const(A, cnt) | nb.lt_const(AU, cnt)
+        ruled = gtA[cnt]
+        if cnt > 0:
+            ruled = ruled | ~geAU[cnt - 1]  # AU < cnt
         ruled = ruled | (known_off if live else center_on)
         out.append(ruled)
     return out

@@ -160,3 +160,17 @@ def test_vulnerable_matches_dense(rng):
     bst = BP.from_dense_stable(st)
     b = BP.vulnerable(bst)
     assert (np.asarray(board.to_dense(b)) == np.asarray(d)).all()
+
+
+def test_gt_thresholds7_exhaustive():
+    """The shared thermometer decode must equal gt_const for every nibble
+    value 0..15 and threshold 0..6."""
+    from lifeapi_tpu.stable import nibble as nb
+
+    vals = np.arange(16, dtype=np.int32)
+    grid = np.broadcast_to(vals[:, None, None], (16, N, N))
+    x = nb.encode(jnp.asarray(grid))
+    got = BP._gt_thresholds7(x)
+    for c in range(7):
+        exp = np.asarray(board.to_dense(nb.gt_const(x, c)))
+        assert (np.asarray(board.to_dense(got[c])) == exp).all(), c
