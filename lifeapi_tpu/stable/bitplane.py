@@ -196,6 +196,32 @@ def _max_possible(possible):
     return _encode_selected(list(reversed(sels_rev)))
 
 
+def _poss_counts(possible):
+    """7 planes: some possible option has neighbour count c (c = 0..6)."""
+    out = []
+    for ids in _BY_COUNT:
+        p = possible[ids[0]]
+        for i in ids[1:]:
+            p = p | possible[i]
+        out.append(p)
+    return out
+
+
+def _single_count(possible):
+    """Plane: at most ONE neighbour-count class remains possible (with
+    the some-option-possible guard applied by callers, this is exactly
+    ``min_possible == max_possible``)."""
+    any_ = jnp.zeros_like(possible[0])
+    two = jnp.zeros_like(possible[0])
+    for ids in _BY_COUNT:
+        p = possible[ids[0]]
+        for i in ids[1:]:
+            p = p | possible[i]
+        two = two | (any_ & p)
+        any_ = any_ | p
+    return ~two
+
+
 def _encode_selected(sels):
     """One-hot count selectors -> nibble of the selected constant."""
     z = jnp.zeros_like(sels[0])
@@ -338,8 +364,21 @@ def signal_circuit_post(state, unknown, ruled, A, U, AU):
         o_impossible = o_impossible & p
     o_ok = ~o_impossible
 
-    mo = _min_possible(possible)
-    Mo = _max_possible(possible)
+    # POST-UPDATE, every possible option's count lies in [A, AU] on
+    # non-aborting cells, so the endpoint equalities collapse to
+    # threshold tests on the per-count possibility planes (no min/max
+    # nibble encode needed):
+    #   max_possible == A   <=>  no possible count exceeds A
+    #   min_possible == AU  <=>  no possible count is below AU
+    poss = _poss_counts(possible)
+    gtA = _gt_thresholds7(A)
+    gtAU = _gt_thresholds7(AU)
+    has_above = poss[1] & ~gtA[0]
+    has_below = poss[0] & gtAU[0]
+    for c in range(2, 7):
+        has_above = has_above | (poss[c] & ~gtA[c - 1])
+    for c in range(1, 6):
+        has_below = has_below | (poss[c] & gtAU[c])
 
     maybe_live = possible[0] | possible[1]
     maybe_dead = possible[2]
@@ -352,8 +391,8 @@ def signal_circuit_post(state, unknown, ruled, A, U, AU):
     u_nonzero = ~nb.eq_const(U, 0)
     guards = u_nonzero & o_ok & ~conflict
 
-    signal_off = guards & nb.eq(Mo, A)
-    signal_on = guards & nb.eq(mo, AU) & ~signal_off
+    signal_off = guards & ~has_above
+    signal_on = guards & ~has_below & ~signal_off
 
     cen_guards = center_unk & o_ok
     center_on_f = cen_guards & maybe_live & ~maybe_dead
@@ -855,11 +894,10 @@ def vulnerable_circuit(state, unknown, ruled, on9, unk9):
         for p in o2[1:]:
             impossible = impossible & p
         possible = [~p for p in o2]
-        mo2 = _min_possible(possible)
-        Mo2 = _max_possible(possible)
-        v1 = nb.maximum(A_, mo2)
-        v2 = nb.minimum(AU_, Mo2)
-        decided = nb.eq(v1, v2)
+        # possible counts lie inside [A_, AU_] after the maximal pruning,
+        # so max(A_, min_possible) == min(AU_, max_possible) collapses to
+        # "exactly one count class remains possible"
+        decided = _single_count(possible)
         maybe_live2 = possible[0] | possible[1]
         maybe_dead2 = possible[2]
         for i in range(3, 8):

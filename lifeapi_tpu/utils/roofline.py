@@ -68,7 +68,17 @@ def lane_ops(fn, *example_args):
     no data-dependent control flow) by tracing its jaxpr.  Every counted
     primitive contributes its output element count; shuffles (concatenate
     for sublane rolls) count as one op per element, matching how they
-    occupy VPU issue slots."""
+    occupy VPU issue slots.
+
+    CAVEAT (measured round 3): these are PRE-compiler counts — an UPPER
+    bound on executed ops.  Mosaic/XLA CSE already eliminates repeated
+    subexpressions: a source-level rewrite that removed 27% of the
+    jaxpr ops of the propagate step changed its measured wall-clock by
+    <2%, i.e. the compiler had already deduplicated them.  `% of peak`
+    derived from these counts therefore UNDERSTATES true utilization of
+    circuits with heavy shared subexpressions (the fixpoint's real
+    fraction is higher than the quoted ~44%); the step kernel's count
+    has no such redundancy and its ~110% reading stands."""
     jaxpr = jax.make_jaxpr(fn)(*example_args)
     return _count_jaxpr(jaxpr.jaxpr)
 
