@@ -377,7 +377,7 @@ def signal_circuit_post(state, unknown, ruled, A, U, AU):
     has_below = poss[0] & gtAU[0]
     for c in range(2, 7):
         has_above = has_above | (poss[c] & ~gtA[c - 1])
-    for c in range(1, 6):
+    for c in range(1, 7):
         has_below = has_below | (poss[c] & gtAU[c])
 
     maybe_live = possible[0] | possible[1]

@@ -53,21 +53,34 @@ def _anchor_candidates(populated):
 def _normalize_origin(board):
     """(min_hash, normalized_board): the board translated to its canonical
     origin anchor.  Among all tied tightest-window anchors the one giving
-    the lexicographically smallest board hash wins, so the result is a
-    function of the pattern's content only — fully translation-invariant
-    even for patterns with tied maximal empty gaps (round-2 advisor
-    finding on ``_circular_margins`` argmax tie-breaking)."""
+    the lexicographically smallest rolled dense serialization wins, so the
+    result is a function of the pattern's content only — fully
+    translation-invariant even for patterns with tied maximal empty gaps
+    (round-2 advisor finding on ``_circular_margins`` argmax tie-breaking).
+    Tie-breaking compares host-side ``np.roll`` views and only the single
+    winner is moved and hashed: a fully populated projection yields 64
+    anchors per axis, and the previous move+hash per pair was a ~4096
+    device-dispatch cliff (round-3 advisor finding)."""
     dense = np.asarray(board_mod.to_dense(board)).astype(bool)
     xs = _anchor_candidates(dense.any(axis=1))
     ys = _anchor_candidates(dense.any(axis=0))
-    best_h, best_b = None, None
-    for x0 in xs:
-        for y0 in ys:
-            moved = board_mod.move(board, -int(x0), -int(y0))
-            h = board_hash(moved)
-            if best_h is None or h < best_h:
-                best_h, best_b = h, moved
-    return best_h, best_b
+    # Row x packed MSB-first: bit (63 - y) of words[x] == dense[x, y], so
+    # lexicographic order on the uint64 vector == lexicographic order on
+    # the dense boolean serialization.
+    words = np.packbits(dense, axis=1).view(">u8").astype(np.uint64)[:, 0]
+    n = words.shape[0]
+    idx = (np.asarray(xs)[:, None] + np.arange(n)[None, :]) % n
+    cands, pairs = [], []
+    for y0 in ys:
+        rot = words if y0 == 0 else (
+            (words << np.uint64(y0)) | (words >> np.uint64(n - y0)))
+        cands.append(rot[idx])
+        pairs.extend((x0, y0) for x0 in xs)
+    cands = np.concatenate(cands, axis=0)
+    best = np.lexsort(cands.T[::-1])[0]
+    x0, y0 = pairs[best]
+    moved = board_mod.move(board, -int(x0), -int(y0))
+    return board_hash(moved), moved
 
 
 def octo_hash(board):

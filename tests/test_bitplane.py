@@ -174,3 +174,47 @@ def test_gt_thresholds7_exhaustive():
     for c in range(7):
         exp = np.asarray(board.to_dense(nb.gt_const(x, c)))
         assert (np.asarray(board.to_dense(got[c])) == exp).all(), c
+
+
+def test_signal_post_exhaustive_vs_signal_circuit():
+    """Exhaustive (center three-state x A x U x ruled-mask) equivalence of
+    signal_circuit_post (the fused-kernel specialisation) vs the untouched
+    signal_circuit, on post-update ruled planes.  Random boards with
+    all-zero initial ruled planes cannot reach the constrained-options
+    corners (e.g. a dead6-only cell with AU > 6, which a dropped c=6 term
+    in has_below turns into an unsound signal_on); this enumeration can."""
+    cases = []
+    for st_b, un_b in ((1, 0), (0, 1), (0, 0)):
+        for a in range(9):
+            for u in range(9 - a):
+                for m in range(256):
+                    cases.append((st_b, un_b, a, u, m))
+    arr = np.array(cases, np.uint32)
+    n = len(arr)
+    nwords = -(-n // 32)
+    arr = np.concatenate([arr, np.repeat(arr[-1:], nwords * 32 - n, axis=0)])
+
+    def pack(bits):
+        return jnp.asarray(
+            (bits.astype(np.uint32).reshape(nwords, 32)
+             << np.arange(32, dtype=np.uint32)).sum(axis=1, dtype=np.uint32))
+
+    st_b, un_b, a_v, u_v, m_v = arr.T
+    state, unknown = pack(st_b), pack(un_b)
+    ruled = tuple(pack((m_v >> i) & 1) for i in range(8))
+
+    def nib(v):
+        return tuple(pack((v >> j) & 1) for j in range(4))
+
+    A, U, AU = nib(a_v), nib(u_v), nib(a_v + u_v)
+    s9 = nib(a_v + st_b)
+    m9 = nib(a_v + u_v + st_b + un_b)
+
+    rl2, ab_u, _ = BP.update_circuit_interval(state, unknown, ruled, A, AU)
+    post = BP.signal_circuit_post(state, unknown, rl2, A, U, AU)
+    ref = BP.signal_circuit(state, unknown, rl2, s9, m9)
+    ok = ~np.asarray(ab_u)
+    names = ("signal_on", "signal_off", "center_on_f", "center_off_f")
+    for name, p, r in zip(names, post, ref):
+        bad = (np.asarray(p) ^ np.asarray(r)) & ok
+        assert not bad.any(), name
