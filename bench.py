@@ -267,18 +267,22 @@ def _secondary_beam(result, on_accel):
     result["beam_vs_baseline"] = rate / BASELINE_SOLVES_PER_SEC
     result["beam_spread"] = round(spread, 3)
 
-    # end-to-end API rate: median of 5 full complete_stable_beam calls
-    # (dispatch + single readback included) — the number users get
-    res = C.complete_stable_beam(bst, frontier=F, iters=iters,
-                                 dense=False, interpret=not on_accel)
-    samples = []
-    for _ in range(5):
-        t0 = time.perf_counter()
+    # end-to-end API rates: median of 5 full complete_stable_beam calls
+    # (dispatch + single readback included) — the numbers users get.
+    # ``compact`` is the found/pop/proved-only readback (12 B/problem,
+    # what mask-style callers like weld.unweldable_mask pay).
+    for tag, kwargs in (("e2e", dict(dense=False)),
+                        ("e2e_compact", dict(return_boards=False))):
         res = C.complete_stable_beam(bst, frontier=F, iters=iters,
-                                     dense=False, interpret=not on_accel)
-        samples.append(time.perf_counter() - t0)
-    dt = statistics.median(samples)
-    result["beam_solves_per_sec_e2e"] = B / dt
+                                     interpret=not on_accel, **kwargs)
+        samples = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            res = C.complete_stable_beam(bst, frontier=F, iters=iters,
+                                         interpret=not on_accel, **kwargs)
+            samples.append(time.perf_counter() - t0)
+        dt = statistics.median(samples)
+        result[f"beam_solves_per_sec_{tag}"] = B / dt
     result["beam_found_fraction"] = float(np.asarray(res.found).mean())
 
 
@@ -294,7 +298,10 @@ def _secondary_propagate(result, on_accel):
     from lifeapi_tpu.stable import bitplane as BP
 
     B = 4096 if on_accel else 64
-    m_lo, m_hi = (1, 33) if on_accel else (1, 2)
+    # the fixpoint is fast (sub-ms/k-board call): m_hi=2049 puts ~1-2 s
+    # of differential compute in each slope sample, well above the
+    # bursty +-400 ms dispatch jitter (an m_hi of 33 measured unstable)
+    m_lo, m_hi = (1, 2049) if on_accel else (1, 2)
 
     eater = board.move(rle.parse("2b2o$bobo$bo$2o!"), 20, 20)
     unknown = board.zoi(board.zoi(eater)) & ~eater

@@ -73,33 +73,39 @@ def run_pair(name, a, b, window, beam_iters_list=(24, 96),
     n_host = int(host_marked.sum())
 
     for iters in beam_iters_list:
-        # warm (compile) then measure: the beam engine is called twice
-        for rep in range(2):
-            t0 = time.perf_counter()
-            beam_bad = np.asarray(board.to_dense(W.unweldable_mask(
-                a, b, starting_good=good0, engine="beam",
-                batch_size=batch_size, beam_iters=iters)))
-            beam_s = time.perf_counter() - t0
-        beam_marked = beam_bad & window & ~inter
-        n_beam = int(beam_marked.sum())
-        n_both = int((beam_marked & host_marked).sum())
-        unsound = int((beam_marked & ~host_marked).sum())
-        print(json.dumps({
-            "metric": f"unweldable_{name}_beam{iters}",
-            "value": host_s / beam_s if beam_s > 0 else 0.0,
-            "unit": "x host wall-clock",
-            "beam_seconds": round(beam_s, 4),
-            "host_seconds": round(host_s, 4),
-            "placements_tested": n_test,
-            "dfs_marked_bad": n_host,
-            "beam_proved_bad": n_beam,
-            "coverage": round(n_both / n_host, 4) if n_host else None,
-            "beam_marked_not_in_dfs": unsound,
-            "note": "coverage = |beam-proved AND DFS-marked| / DFS-marked; "
-                    "beam marks are sound proofs (never wrong), DFS marks "
-                    "are 0.05s-budget refutations; beam_marked_not_in_dfs "
-                    "are sound proofs the DFS budget timed out on",
-        }), flush=True)
+        for escalate in (False, True):
+            # warm (compile) then measure: each engine is called twice
+            for rep in range(2):
+                t0 = time.perf_counter()
+                beam_bad = np.asarray(board.to_dense(W.unweldable_mask(
+                    a, b, starting_good=good0, engine="beam",
+                    batch_size=batch_size, beam_iters=iters,
+                    escalate=escalate)))
+                beam_s = time.perf_counter() - t0
+            beam_marked = beam_bad & window & ~inter
+            n_beam = int(beam_marked.sum())
+            n_both = int((beam_marked & host_marked).sum())
+            unsound = int((beam_marked & ~host_marked).sum())
+            tag = "esc" if escalate else ""
+            print(json.dumps({
+                "metric": f"unweldable_{name}_beam{iters}{tag}",
+                "value": host_s / beam_s if beam_s > 0 else 0.0,
+                "unit": "x host wall-clock",
+                "beam_seconds": round(beam_s, 4),
+                "host_seconds": round(host_s, 4),
+                "escalated": escalate,
+                "placements_tested": n_test,
+                "dfs_marked_bad": n_host,
+                "beam_proved_bad": n_beam,
+                "coverage": round(n_both / n_host, 4) if n_host else None,
+                "beam_marked_not_in_dfs": unsound,
+                "note": "coverage = |beam-proved AND DFS-marked| / "
+                        "DFS-marked; beam marks are sound proofs (never "
+                        "wrong), DFS marks are 0.05s-budget refutations; "
+                        "beam_marked_not_in_dfs are sound proofs the DFS "
+                        "budget timed out on; escalated rows add the "
+                        "F=16 + host-DFS fallback tiers (weld.py)",
+            }), flush=True)
 
 
 def main():

@@ -67,19 +67,23 @@ def catalyst_search(active, catalyst, offsets, horizon, recovery_target=None,
         lambda off: B.move(recovery_target.unwanted, off[0], off[1])
     )(offsets)
 
+    # hoisted loop invariants: XLA does not move computations out of a
+    # while/scan body, and the baseline reaction is placement-independent
+    # — step it ONCE per generation (not per placement)
+    placed_zoi = B.zoi(placed)
+
     def body(carry, _):
         cur, baseline, interacted = carry
         nxt = S.step(cur)
         base_nxt = S.step(baseline)
         # catalyst perturbed: its cells differ from (baseline | catalyst)
-        diff = (nxt ^ (base_nxt | placed)) & B.zoi(placed)
+        diff = (nxt ^ (base_nxt | placed)) & placed_zoi
         interacted = interacted | ~B.is_empty(diff)
         return (nxt, base_nxt, interacted), None
 
     interacted0 = jnp.zeros(offsets.shape[0], bool)
     (final, base_final, interacted), _ = jax.lax.scan(
-        body, (boards, jnp.broadcast_to(active, boards.shape), interacted0),
-        None, length=horizon,
+        body, (boards, active, interacted0), None, length=horizon,
     )
 
     # recovered: wanted cells ON, unwanted OFF at the end

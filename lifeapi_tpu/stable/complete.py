@@ -412,7 +412,7 @@ _BEAM_RUN = None
 
 def _fused_beam_run(stable_in, seed, bound, *, F, iters, minimise, b_pad,
                     lane_tile, interpret, use_seed, needs_pack,
-                    simple_phase=False, use_bound=False):
+                    simple_phase=False, use_bound=False, compact=False):
     """Whole fused-beam pipeline — packing, padding, lane replication,
     the search kernel, and result extraction packed into ONE uint32
     buffer — as ONE jittable function: a call is a single device
@@ -458,35 +458,56 @@ def _fused_beam_run(stable_in, seed, bound, *, F, iters, minimise, b_pad,
             bound_row=bound_row,
         )
     )
-    best = jnp.stack(
-        [jnp.transpose(best_lo[:, ::F]), jnp.transpose(best_hi[:, ::F])],
-        axis=-1,
-    )[:B]
     found = found_r[0, ::F][:B] != 0
     complete = complete_r[0, ::F][:B] != 0
     exhausted = active_any[0, ::F][:B] == 0
     best_pop = best_pop_r[0, ::F][:B]
     proved = exhausted & complete & ~found
+    scalars = [
+        jnp.where(found, jnp.uint32(1), jnp.uint32(0))[:, None],
+        best_pop.astype(jnp.uint32)[:, None],
+        jnp.where(proved, jnp.uint32(1), jnp.uint32(0))[:, None],
+    ]
+    if compact:
+        # found/pop/proved only: 12 B/problem instead of 524 — the
+        # readback is the dominant per-call cost through a tunneled
+        # backend, and mask-style callers (weld.unweldable_mask) never
+        # look at the boards
+        return jnp.concatenate(scalars, axis=1)
+    best = jnp.stack(
+        [jnp.transpose(best_lo[:, ::F]), jnp.transpose(best_hi[:, ::F])],
+        axis=-1,
+    )[:B]
     # pack everything into ONE uint32 buffer: each np.asarray readback
     # pays a full tunnel round trip, and there were four of them
-    return jnp.concatenate(
-        [
-            best.reshape(B, 128),
-            jnp.where(found, jnp.uint32(1), jnp.uint32(0))[:, None],
-            best_pop.astype(jnp.uint32)[:, None],
-            jnp.where(proved, jnp.uint32(1), jnp.uint32(0))[:, None],
-        ],
-        axis=1,
-    )
+    return jnp.concatenate([best.reshape(B, 128)] + scalars, axis=1)
 
 
 _FUSED_BEAM_JIT = None
 
 
+_AUX_CACHE = {}
+
+
+def _aux_inputs(B):
+    """Cached all-zero seed/bound placeholder arrays: creating them
+    eagerly per call costs two device round trips through a tunneled
+    backend (round-3 VERDICT weak #1 — part of the 82 ms non-kernel
+    cost per beam call)."""
+    import jax.numpy as jnp
+
+    if B not in _AUX_CACHE:
+        _AUX_CACHE[B] = (
+            jnp.zeros((B, 64, 2), jnp.uint32),
+            jnp.zeros((B,), jnp.int32),
+        )
+    return _AUX_CACHE[B]
+
+
 def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
                          fused=None, interpret=False, dense=True,
                          seed=None, batch_tile=256, simple_phase=False,
-                         init_bound=None):
+                         init_bound=None, return_boards=True):
     """Batched frontier search over ``[B]`` independent problems.
 
     Each problem keeps a frontier of up to ``frontier`` candidate partial
@@ -513,6 +534,12 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
     branch cells are restricted to the smallest ZOI-dilation of the seed
     that touches the settable set, keeping minimise-mode solutions from
     wandering away from the incumbent.
+
+    ``return_boards=False`` returns ``best=None`` and reads back only
+    found/best_pop/proved (12 bytes per problem instead of 524): mask
+    and existence queries (weld.unweldable_mask, coverage sweeps) never
+    look at the boards, and the readback volume is the dominant
+    per-call cost through a tunneled backend (BENCH_NOTES round 4).
     """
     import jax
     import jax.numpy as jnp
@@ -544,7 +571,7 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
                 static_argnames=("F", "iters", "minimise", "b_pad",
                                  "lane_tile", "interpret",
                                  "use_seed", "needs_pack", "simple_phase",
-                                 "use_bound"),
+                                 "use_bound", "compact"),
             )
         flat = B * F
         if flat >= batch_tile:
@@ -555,18 +582,25 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
             b_pad, lane_tile = B, flat
         use_seed = seed is not None
         use_bound = init_bound is not None
-        seed_in = (jnp.zeros((B, 64, 2), jnp.uint32) if seed is None
+        zero_seed, zero_bound = _aux_inputs(B)
+        seed_in = (zero_seed if seed is None
                    else jnp.broadcast_to(seed, (B, 64, 2)))
-        bound_in = (jnp.zeros((B,), jnp.int32) if init_bound is None
+        bound_in = (zero_bound if init_bound is None
                     else jnp.broadcast_to(
                         jnp.asarray(init_bound, jnp.int32), (B,)))
+        compact = not return_boards
         buf = np.asarray(_FUSED_BEAM_JIT(
             stable, seed_in, bound_in, F=F, iters=iters,
             minimise=minimise, b_pad=b_pad, lane_tile=lane_tile,
             interpret=interpret, use_seed=use_seed,
             needs_pack=needs_pack, simple_phase=simple_phase,
-            use_bound=use_bound,
+            use_bound=use_bound, compact=compact,
         ))  # one readback
+        if compact:
+            found = buf[:, 0] != 0
+            best_pop = buf[:, 1].astype(np.int32)
+            proved = buf[:, 2] != 0
+            return BeamResult(found, None, best_pop, proved)
         best_packed = buf[:, :128].reshape(B, 64, 2)
         found = buf[:, 128] != 0
         best_pop = buf[:, 129].astype(np.int32)
@@ -599,9 +633,12 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
     out = _BEAM_RUN(cur0, active0, best0, best_pop0, found0, seed0,
                     iters, minimise, use_seed=seed is not None)
     _, active, best, best_pop, found, complete = out
-    best_out = BRD.to_dense(best) if dense else best
     exhausted = ~jnp.any(active, axis=1)
     proved = exhausted & complete & ~found
+    if not return_boards:
+        return BeamResult(np.asarray(found), None, np.asarray(best_pop),
+                          np.asarray(proved))
+    best_out = BRD.to_dense(best) if dense else best
     return BeamResult(
         np.asarray(found), np.asarray(best_out), np.asarray(best_pop),
         np.asarray(proved),

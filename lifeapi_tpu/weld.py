@@ -258,7 +258,9 @@ def _build_placements(a: LifeWeld, b: LifeWeld, xy):
 
 def unweldable_mask(a: LifeWeld, b: LifeWeld, starting_good=None,
                     starting_bad=None, solve_timeout=0.05, engine="host",
-                    batch_size=256, beam_frontier=4, beam_iters=48):
+                    batch_size=256, beam_frontier=4, beam_iters=48,
+                    escalate=True, escalate_frontier=16,
+                    escalate_dfs_timeout=None):
     """For every untested relative placement, weld the two patterns and try
     to complete a stable background; INCONSISTENT placements are bad — an
     expensive compatibility prefilter (reference ``UnweldableMask``,
@@ -269,9 +271,19 @@ def unweldable_mask(a: LifeWeld, b: LifeWeld, starting_good=None,
     ``engine="beam"`` is the TPU-native form — ALL untested placements
     become one batched still-life problem set solved by
     ``complete_stable_beam`` in chunks of ``batch_size``; a placement is
-    marked bad only on the beam's sound inconsistency proof
-    (``BeamResult.proved_inconsistent``), so the result is a (possibly
-    smaller but never wrong) subset of what an unbounded DFS would mark."""
+    marked bad only on a sound inconsistency proof
+    (``BeamResult.proved_inconsistent``), so every mark is correct.
+
+    With ``escalate`` (default), placements the first beam pass neither
+    completes nor refutes (its ``proved_inconsistent`` needs a
+    never-overflowed frontier, so hard instances can stay undetermined)
+    are re-run with a ``escalate_frontier``-wide beam at double depth,
+    and any remaining residue falls back to the host DFS with the same
+    per-instance budget as ``engine="host"`` (``escalate_dfs_timeout``
+    defaults to ``solve_timeout``).  The residue is tiny in practice —
+    3 of 1919 placements on the eater x eater workload (BENCH_NOTES) —
+    so the escalation recovers full DFS coverage for sub-second cost,
+    and every mark from every tier remains a sound proof."""
     import numpy as np
 
     from .stable import complete as C
@@ -299,17 +311,64 @@ def unweldable_mask(a: LifeWeld, b: LifeWeld, starting_good=None,
         return _build_placements(a, b, xy)
 
     if engine == "beam":
+        undetermined = []
         for lo in range(0, len(offsets), batch_size):
             chunk = offsets[lo:lo + batch_size]
             padded = chunk + [chunk[0]] * (batch_size - len(chunk))
             sts = build(jnp.asarray(padded, jnp.int32))
             res = C.complete_stable_beam(
                 sts, frontier=beam_frontier, iters=beam_iters,
-                minimise=False,
+                minimise=False, return_boards=False,
             )
-            for (x, y), is_bad in zip(chunk, res.proved_inconsistent):
-                if is_bad:
+            proved = np.asarray(res.proved_inconsistent)
+            found = np.asarray(res.found)
+            for i, (x, y) in enumerate(chunk):
+                if proved[i]:
                     bad_dense[x, y] = True
+                elif escalate and not found[i]:
+                    undetermined.append((x, y))
+
+        if undetermined:
+            # tier 2: wider frontier, double depth, just on the residue
+            # (lane budget held at batch_size * beam_frontier)
+            cap = max(1, (batch_size * beam_frontier) // escalate_frontier)
+            residue = []
+            for lo in range(0, len(undetermined), cap):
+                chunk = undetermined[lo:lo + cap]
+                padded = chunk + [chunk[0]] * (cap - len(chunk))
+                sts = build(jnp.asarray(padded, jnp.int32))
+                res = C.complete_stable_beam(
+                    sts, frontier=escalate_frontier, iters=2 * beam_iters,
+                    minimise=False, return_boards=False,
+                )
+                proved = np.asarray(res.proved_inconsistent)
+                found = np.asarray(res.found)
+                for i, (x, y) in enumerate(chunk):
+                    if proved[i]:
+                        bad_dense[x, y] = True
+                    elif not found[i]:
+                        residue.append((x, y))
+
+            # tier 3: host DFS on whatever two beam tiers left open —
+            # same per-instance budget as the reference loop, so the
+            # escalated pipeline refutes everything engine="host" can
+            if residue:
+                budget = (solve_timeout if escalate_dfs_timeout is None
+                          else escalate_dfs_timeout)
+                sts = build(jnp.asarray(residue, jnp.int32))
+                states = np.asarray(sts.state)
+                unknowns = np.asarray(sts.unknown)
+                ruleds = np.asarray(sts.ruled)
+                for i, (x, y) in enumerate(residue):
+                    host_st = HO.HostStable(
+                        states[i].copy(), unknowns[i].copy(),
+                        ruleds[i].copy()
+                    )
+                    result, _ = C.complete_stable(
+                        host_st, timeout=budget, minimise=False
+                    )
+                    if result == C.CompletionResult.INCONSISTENT:
+                        bad_dense[x, y] = True
         return B.from_dense(jnp.asarray(bad_dense))
 
     # host engine (reference-faithful loop, LifeWeld.hpp:256-274): build
