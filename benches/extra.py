@@ -192,6 +192,55 @@ def bench_convolve(B=4096, M=8):
     }), flush=True)
 
 
+def bench_convolve_traced(B=4096, M=256, cells=7):
+    """Library entry with TRACED per-board sparse operands — the honest
+    apples-to-apples against the reference's ~1e7 conv/s best case
+    (LifeAPI.hpp:1284-1370): like the reference's run decomposition, the
+    device-side extraction loop reads the operand's cells at RUNTIME and
+    its cost scales with population.  Each board carries its OWN 7-cell
+    operand (nothing is host-known)."""
+    from lifeapi_tpu.core import board
+    from lifeapi_tpu.core import convolve as CV
+
+    rng = np.random.default_rng(0)
+
+    def mk():
+        d = np.zeros((B, 64, 64), bool)
+        for i in range(B):
+            d[i, rng.integers(20, 28, cells), rng.integers(20, 28, cells)] = True
+        return board.from_dense(jnp.asarray(d))
+
+    a, b = mk(), mk()
+
+    def mk_run(reps):
+        @jax.jit
+        def run(a, b):
+            def body(i, acc):
+                ai = jnp.roll(a, i, axis=-2)
+                res = CV.convolve(ai, b, method="sparse")
+                return acc + jnp.sum(res, dtype=jnp.uint32)
+
+            return jax.lax.fori_loop(0, reps, body, jnp.uint32(0))
+
+        return run
+
+    dt1 = _timed(mk_run(1), a, b)
+    dtm = _timed(mk_run(M + 1), a, b)
+    dt = _mdiff(dt1, dtm, M, "convolve_traced_sparse_per_sec")
+    if dt is None:
+        return
+    conv_per_sec = B / dt
+    print(json.dumps({
+        "metric": "convolve_traced_sparse_per_sec",
+        "value": conv_per_sec,
+        "unit": "conv/s",
+        "vs_baseline": conv_per_sec / 1.0e7,
+        "note": "traced 7-cell operands, one per board; "
+                "population-proportional extraction loop "
+                "(convolve_sparse_device)",
+    }), flush=True)
+
+
 def bench_convolve_sparse(B=4096, M=2048, cells=7):
     """Shift-OR sparse convolution with a host-known 7-cell pattern — the
     apples-to-apples comparison against the reference's ~1e7 conv/s:
@@ -676,6 +725,7 @@ _BENCHES = {
     "beam": bench_beam_complete,
     "convolve": bench_convolve,
     "convolve_sparse": bench_convolve_sparse,
+    "convolve_traced": bench_convolve_traced,
     "convolve_latency": bench_convolve_latency,
     "mpc": bench_mpc,
     "mpc_cem": bench_mpc_cem,

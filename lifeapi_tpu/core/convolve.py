@@ -271,6 +271,108 @@ def convolve_sparse(a, cells):
     return jnp.zeros_like(a) if out is None else out
 
 
+def _roll_x_dyn(board, dx):
+    """Per-board torus roll along x by traced amounts: 6 conditional
+    static rolls (binary decomposition of dx) — a per-lane dynamic
+    sublane permute does not exist on the VPU, but static rolls +
+    selects do."""
+    out = board
+    for k in range(6):
+        bit = ((dx >> k) & 1).astype(bool)[..., None, None]
+        out = jnp.where(bit, jnp.roll(out, 1 << k, axis=-2), out)
+    return out
+
+
+def _move_dyn(board, dx, dy):
+    """``board_mod.move`` with PER-BOARD traced (dx, dy): x via
+    conditional static rolls, y via the funnel-shift rotate (which
+    broadcasts traced shift amounts)."""
+    from . import bitops
+
+    out = _roll_x_dyn(board, dx)
+    lo, hi = out[..., 0], out[..., 1]
+    lo, hi = bitops.rotl64(lo, hi, dy[..., None])
+    return jnp.stack([lo, hi], axis=-1)
+
+
+def _extract_first_cell(rem):
+    """First ON cell of each packed board of a batch, device-side:
+    returns (x, y, clear_mask, empty).  The cell's bit is isolated with
+    ``w & -w`` (no index arithmetic), and ``y`` recovered by popcount."""
+    import jax
+
+    rows_nz = (rem[..., 0] | rem[..., 1]) != 0  # [..., 64]
+    empty = ~jnp.any(rows_nz, axis=-1)
+    x = jnp.argmax(rows_nz, axis=-1).astype(jnp.int32)  # first nz row
+    onehot = jnp.arange(N) == x[..., None]  # [..., 64]
+    row = jnp.sum(jnp.where(onehot[..., None], rem, jnp.uint32(0)),
+                  axis=-2)  # [..., 2] (single selected row)
+    lo, hi = row[..., 0], row[..., 1]
+    blo = lo & (jnp.uint32(0) - lo)
+    bhi = jnp.where(lo == 0, hi & (jnp.uint32(0) - hi), jnp.uint32(0))
+    pc = jax.lax.population_count
+    y = jnp.where(
+        lo != 0,
+        pc(blo - 1).astype(jnp.int32),
+        32 + pc(bhi - 1).astype(jnp.int32),
+    )
+    clear = jnp.where(onehot[..., None],
+                      jnp.stack([blo, bhi], axis=-1)[..., None, :],
+                      jnp.uint32(0))
+    return x, y, clear, empty
+
+
+def convolve_sparse_device(a, b):
+    """OR-convolution with a DEVICE-resident (traced or concrete) sparse
+    operand: a data-dependent while_loop peels ONE ON cell of ``b`` per
+    board per iteration (isolate lowest set bit, clear it, shift ``a``
+    by the cell's coordinates, OR into the accumulator) until every
+    board's operand is exhausted.
+
+    This is the true TPU analog of the reference's run-decomposition
+    ``Convolve`` (LifeAPI.hpp:1284-1370): the reference reads runs of the
+    operand at RUNTIME and its cost scales with operand population; here
+    the extraction is batched across boards and the cost is
+    max-population iterations of ~pure VPU bitops.  Exact for every
+    population (it never truncates), unlike a fixed-K unrolled sparse
+    path; the dense NTT kernels stay the right tool for dense operands
+    (their cost is population-independent)."""
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    a = jnp.broadcast_to(a, shape)
+    rem0 = jnp.broadcast_to(b, shape)
+    import jax
+
+    def cond(carry):
+        rem, _ = carry
+        return jnp.any(rem != 0)
+
+    def body(carry):
+        rem, acc = carry
+        x, y, clear, empty = _extract_first_cell(rem)
+        shifted = _move_dyn(a, x, y)
+        acc = acc | jnp.where(empty[..., None, None], jnp.uint32(0),
+                              shifted)
+        return rem & ~clear, acc
+
+    _, acc = jax.lax.while_loop(
+        cond, body, (rem0, jnp.zeros(shape, jnp.uint32))
+    )
+    return acc
+
+
+def _max_pop_concrete(packed):
+    """max board population if ``packed`` is host-known (concrete), else
+    None — the sound auto-dispatch test for the device-sparse path."""
+    import jax
+
+    if isinstance(packed, jax.core.Tracer):
+        return None
+    try:
+        return int(jnp.max(board_mod.population(packed)))
+    except jax.errors.TracerArrayConversionError:
+        return None
+
+
 def convolve(a, b, method=None, small=None):
     """OR-convolution (dilation of a by b), bit-identical to the reference
     ``LifeState::Convolve`` (LifeAPI.hpp:1293-1370).
@@ -293,6 +395,19 @@ def convolve(a, b, method=None, small=None):
         cells = _host_cells(a)
         if cells is not None and len(cells) <= _SPARSE_MAX_CELLS:
             return convolve_sparse(b, cells)  # convolution commutes
+        # concrete BATCHED sparse operand (per-board cell sets): the
+        # device-side extraction loop, bounded by the proven max pop
+        mp = _max_pop_concrete(b)
+        if mp is not None and mp <= _SPARSE_MAX_CELLS:
+            return convolve_sparse_device(a, b)
+        mp = _max_pop_concrete(a)
+        if mp is not None and mp <= _SPARSE_MAX_CELLS:
+            return convolve_sparse_device(b, a)
+    if method == "sparse":
+        # caller asserts a sparse operand (the traced-operand analog of
+        # the reference's population-proportional Convolve); exact for
+        # any population, cost scales with max pop over the batch
+        return convolve_sparse_device(a, b)
     if method is None and _prefer_ntt():
         if small is None:
             small = _auto_small(a, b)

@@ -295,3 +295,29 @@ def test_auto_small_detection():
 
     f(sparse)
     assert hit_inside == [False]  # tracers are never guessed small
+
+
+def test_convolve_sparse_device_matches_fft(rng):
+    """The device-side extraction loop (traced-operand sparse path) must
+    equal the dense transform convolution for per-board random sparse
+    operands, including empty ones, in and out of jit."""
+    import jax
+
+    B = 12
+    da = rng.random((B, 64, 64)) < 0.1
+    db = np.zeros((B, 64, 64), bool)
+    for i in range(B):
+        k = int(rng.integers(0, 11))
+        if k:
+            db[i, rng.integers(0, 64, k), rng.integers(0, 64, k)] = True
+    a = board.from_dense(jnp.asarray(da))
+    b = board.from_dense(jnp.asarray(db))
+    ref = np.asarray(convolve.convolve(a, b, method="fft"))
+    got = np.asarray(convolve.convolve_sparse_device(a, b))
+    assert (got == ref).all()
+    got_jit = np.asarray(
+        jax.jit(lambda a, b: convolve.convolve(a, b, method="sparse"))(a, b)
+    )
+    assert (got_jit == ref).all()
+    # auto-dispatch: concrete batched sparse operand takes this path
+    assert (np.asarray(convolve.convolve(a, b)) == ref).all()
