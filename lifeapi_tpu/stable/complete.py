@@ -696,7 +696,8 @@ def _portfolio_champion(res, dx, dy):
 
 def complete_stable_portfolio(state, unknown, key, replicas=256, frontier=4,
                               iters=192, minimise=True, fused=None,
-                              interpret=False, reminimise=True):
+                              interpret=False, reminimise=True,
+                              explore=True):
     """TPU-native answer to the reference's deep single-instance DFS
     (LifeStable.hpp:1340-1412 with the strip kernels making one path
     cheap): ONE hard completion problem searched by ``replicas``
@@ -756,6 +757,28 @@ def complete_stable_portfolio(state, unknown, key, replicas=256, frontier=4,
         pop2, champ2 = _portfolio_champion(res2, dx, dy)
         if pop2 is not None and pop2 < best_pop:
             best_pop, champ = pop2, champ2
+
+    if minimise and explore:
+        # basin-diverse explore pass (round-3 VERDICT directive #5): the
+        # seeded re-minimise above polishes the CHAMPION's basin, but a
+        # minimal solution can live in a different basin entirely.  Fresh
+        # random translations re-randomize every replica's branch order,
+        # the FULL original unknown area stays open, and the incumbent
+        # bound turns the pass into branch-and-bound: replicas prune as
+        # soon as they exceed the champion (reference counterpart: the
+        # DFS's global max_pop bound, LifeStable.hpp:1353-1356).
+        k3x, k3y = jax.random.split(jax.random.fold_in(key, 2))
+        dx3 = jax.random.randint(k3x, (replicas,), 0, 64)
+        dy3 = jax.random.randint(k3y, (replicas,), 0, 64)
+        st_r3, un_r3 = jax.jit(_build_replicas)(state, unknown, dx3, dy3)
+        res3 = complete_stable_beam(
+            BP.make(state=st_r3, unknown=un_r3), frontier=frontier,
+            iters=iters, minimise=True, fused=fused, interpret=interpret,
+            dense=False, init_bound=best_pop,
+        )
+        pop3, champ3 = _portfolio_champion(res3, dx3, dy3)
+        if pop3 is not None and pop3 < best_pop:
+            best_pop, champ = pop3, champ3
 
     return PortfolioResult(
         True, np.asarray(champ), best_pop, found_fraction
