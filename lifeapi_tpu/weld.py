@@ -340,6 +340,11 @@ def unweldable_mask(a: LifeWeld, b: LifeWeld, starting_good=None,
                 res = C.complete_stable_beam(
                     sts, frontier=escalate_frontier, iters=2 * beam_iters,
                     minimise=False, return_boards=False,
+                    # the kernel's scoped-VMEM stack scales with
+                    # lane_tile x F: F=16 at the default tile 256 needs
+                    # 37 MB (measured round 4, >16 MB limit); tile 64
+                    # fits and the residue batch is tiny anyway
+                    batch_tile=64,
                 )
                 proved = np.asarray(res.proved_inconsistent)
                 found = np.asarray(res.found)
