@@ -705,7 +705,7 @@ def _portfolio_champion(res, dx, dy):
 def complete_stable_portfolio(state, unknown, key, replicas=256, frontier=4,
                               iters=192, minimise=True, fused=None,
                               interpret=False, reminimise=True,
-                              explore=True, dfs_polish_timeout=None):
+                              explore=False, dfs_polish_timeout=None):
     """TPU-native answer to the reference's deep single-instance DFS
     (LifeStable.hpp:1340-1412 with the strip kernels making one path
     cheap): ONE hard completion problem searched by ``replicas``
@@ -768,6 +768,10 @@ def complete_stable_portfolio(state, unknown, key, replicas=256, frontier=4,
 
     if minimise and explore:
         # basin-diverse explore pass (round-3 VERDICT directive #5): the
+        # measured result on the showcase two-anchor instance is NEGATIVE
+        # (still pop 8, ~3x portfolio wall-clock — BENCH_NOTES round 4),
+        # so it is opt-in; ``dfs_polish_timeout`` is the effective
+        # exactness tool.  Mechanism: the
         # seeded re-minimise above polishes the CHAMPION's basin, but a
         # minimal solution can live in a different basin entirely.  Fresh
         # random translations re-randomize every replica's branch order,

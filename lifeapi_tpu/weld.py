@@ -259,7 +259,7 @@ def _build_placements(a: LifeWeld, b: LifeWeld, xy):
 def unweldable_mask(a: LifeWeld, b: LifeWeld, starting_good=None,
                     starting_bad=None, solve_timeout=0.05, engine="host",
                     batch_size=256, beam_frontier=4, beam_iters=48,
-                    escalate=True, escalate_frontier=16,
+                    escalate=True, escalate_frontier=8,
                     escalate_dfs_timeout=None):
     """For every untested relative placement, weld the two patterns and try
     to complete a stable background; INCONSISTENT placements are bad — an
@@ -277,7 +277,7 @@ def unweldable_mask(a: LifeWeld, b: LifeWeld, starting_good=None,
     With ``escalate`` (default), placements the first beam pass neither
     completes nor refutes (its ``proved_inconsistent`` needs a
     never-overflowed frontier, so hard instances can stay undetermined)
-    are re-run with a ``escalate_frontier``-wide beam at double depth,
+    are re-run with a ``escalate_frontier``-wide beam at 4x depth,
     and any remaining residue falls back to the host DFS with the same
     per-instance budget as ``engine="host"`` (``escalate_dfs_timeout``
     defaults to ``solve_timeout``).  The residue is tiny in practice —
@@ -338,13 +338,14 @@ def unweldable_mask(a: LifeWeld, b: LifeWeld, starting_good=None,
                 padded = chunk + [chunk[0]] * (cap - len(chunk))
                 sts = build(jnp.asarray(padded, jnp.int32))
                 res = C.complete_stable_beam(
-                    sts, frontier=escalate_frontier, iters=2 * beam_iters,
+                    sts, frontier=escalate_frontier, iters=4 * beam_iters,
                     minimise=False, return_boards=False,
-                    # the kernel's scoped-VMEM stack scales with
-                    # lane_tile x F: F=16 at the default tile 256 needs
-                    # 37 MB (measured round 4, >16 MB limit); tile 64
-                    # fits and the residue batch is tiny anyway
-                    batch_tile=64,
+                    # scoped-VMEM limits the escalation tier: the
+                    # kernel's stack grows with lane_tile and F (F=16 at
+                    # tile 256 needs 37 MB vs the 16 MB limit, measured
+                    # round 4), and Pallas requires lane tiles >= 128;
+                    # F=8 at tile 128 fits
+                    batch_tile=128,
                 )
                 proved = np.asarray(res.proved_inconsistent)
                 found = np.asarray(res.found)
