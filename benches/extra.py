@@ -116,28 +116,30 @@ def bench_beam_complete(B=8192):
         unknown=jnp.broadcast_to(board.to_dense(unknown), (B, 64, 64)),
     )
 
-    def run():
-        res = C.complete_stable_beam(st, frontier=4, iters=24, minimise=True,
-                                     dense=False)
-        return res
+    for tag, kwargs in (("", dict(dense=False)),
+                        ("_compact", dict(return_boards=False))):
+        def run():
+            return C.complete_stable_beam(st, frontier=4, iters=24,
+                                          minimise=True, **kwargs)
 
-    res = run()  # warm (complete_stable_beam jits internally)
-    found = float(np.asarray(res.found).mean())
-    samples = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        res = run()
-        np.asarray(res.best_pop)
-        samples.append(time.perf_counter() - t0)
-    dt = statistics.median(samples)
-    solves_per_sec = B / dt
-    print(json.dumps({
-        "metric": "complete_stable_solves_per_sec",
-        "value": solves_per_sec,
-        "unit": "solves/s",
-        "vs_baseline": solves_per_sec / 3333.0,
-        "found_fraction": found,
-    }), flush=True)
+        res = run()  # warm (complete_stable_beam jits internally)
+        found = float(np.asarray(res.found).mean())
+        samples = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            res = run()
+            np.asarray(res.best_pop)
+            samples.append(time.perf_counter() - t0)
+        dt = statistics.median(samples)
+        solves_per_sec = B / dt
+        print(json.dumps({
+            "metric": f"complete_stable_solves_per_sec{tag}",
+            "value": solves_per_sec,
+            "unit": "solves/s (end-to-end API; kernel-marginal is "
+                    "bench.py beam_solves_per_sec)",
+            "vs_baseline": solves_per_sec / 3333.0,
+            "found_fraction": found,
+        }), flush=True)
 
 
 def bench_convolve(B=4096, M=8):

@@ -87,6 +87,12 @@ def run_pair(name, a, b, window, beam_iters_list=(24, 96),
             n_both = int((beam_marked & host_marked).sum())
             unsound = int((beam_marked & ~host_marked).sum())
             tag = "esc" if escalate else ""
+            if escalate:
+                missed = [tuple(map(int, xy)) for xy in
+                          np.argwhere(host_marked & ~beam_marked)]
+                cls = _classify_missed(a, b, missed)
+            else:
+                cls = None
             print(json.dumps({
                 "metric": f"unweldable_{name}_beam{iters}{tag}",
                 "value": host_s / beam_s if beam_s > 0 else 0.0,
@@ -99,13 +105,53 @@ def run_pair(name, a, b, window, beam_iters_list=(24, 96),
                 "beam_proved_bad": n_beam,
                 "coverage": round(n_both / n_host, 4) if n_host else None,
                 "beam_marked_not_in_dfs": unsound,
+                "missed_dfs_marks_classified": cls,
                 "note": "coverage = |beam-proved AND DFS-marked| / "
                         "DFS-marked; beam marks are sound proofs (never "
                         "wrong), DFS marks are 0.05s-budget refutations; "
                         "beam_marked_not_in_dfs are sound proofs the DFS "
                         "budget timed out on; escalated rows add the "
-                        "F=16 + host-DFS fallback tiers (weld.py)",
+                        "deep-F=8-beam + host-DFS fallback tiers (weld.py)",
             }), flush=True)
+
+
+def _classify_missed(a, b, missed, batch_tile=128):
+    """DFS-marked placements the escalated beam did not mark: each is
+    either PROVEN WELDABLE (a deep F=8 beam finds a completion — the
+    0.05 s DFS budget-refutation was wrong: our complete_stable, like
+    the reference loop LifeStable.hpp:1414-1458, can report INCONSISTENT
+    from a ring-restricted search area when the budget expires), a
+    SOUND miss (a 1 s DFS confirms inconsistency), or UNCONFIRMED
+    (neither engine determines it in 1 s)."""
+    from lifeapi_tpu.stable import host as HO
+
+    if not missed:
+        return {"proved_weldable": 0, "sound_missed": 0, "unconfirmed": 0}
+    cap = -(-len(missed) // 128) * 128
+    padded = missed + [missed[0]] * (cap - len(missed))
+    sts = W._build_placements(a, b, jnp.asarray(padded, jnp.int32))
+    from lifeapi_tpu.stable import complete as C
+
+    res = C.complete_stable_beam(sts, frontier=8, iters=768,
+                                 minimise=False, return_boards=False,
+                                 batch_tile=batch_tile)
+    found = np.asarray(res.found)[:len(missed)]
+    out = {"proved_weldable": int(found.sum()), "sound_missed": 0,
+           "unconfirmed": 0}
+    rest = [i for i, f in enumerate(missed) if not found[i]]
+    if rest:
+        states = np.asarray(sts.state)
+        unknowns = np.asarray(sts.unknown)
+        ruleds = np.asarray(sts.ruled)
+        for i in rest:
+            hst = HO.HostStable(states[i].copy(), unknowns[i].copy(),
+                                ruleds[i].copy())
+            r, _ = C.complete_stable(hst, timeout=1.0, minimise=False)
+            if r == C.CompletionResult.INCONSISTENT:
+                out["sound_missed"] += 1
+            else:
+                out["unconfirmed"] += 1
+    return out
 
 
 def main():

@@ -277,7 +277,7 @@ def unweldable_mask(a: LifeWeld, b: LifeWeld, starting_good=None,
     With ``escalate`` (default), placements the first beam pass neither
     completes nor refutes (its ``proved_inconsistent`` needs a
     never-overflowed frontier, so hard instances can stay undetermined)
-    are re-run with a ``escalate_frontier``-wide beam at 4x depth,
+    are re-run with a DEEP ``escalate_frontier``-wide beam,
     and any remaining residue falls back to the host DFS with the same
     per-instance budget as ``engine="host"`` (``escalate_dfs_timeout``
     defaults to ``solve_timeout``).  The residue is tiny in practice —
@@ -332,13 +332,19 @@ def unweldable_mask(a: LifeWeld, b: LifeWeld, starting_good=None,
             # tier 2: wider frontier, double depth, just on the residue
             # (lane budget held at batch_size * beam_frontier)
             cap = max(1, (batch_size * beam_frontier) // escalate_frontier)
+            # deep second tier: completions matter as much as proofs here
+            # — every hard-but-weldable placement completed on-device is
+            # one the tier-3 DFS never has to time out on (measured
+            # round 4, catxeater: 96 iters complete 35 of a 1790
+            # residue, 768 iters complete 853)
+            deep_iters = max(512, 4 * beam_iters)
             residue = []
             for lo in range(0, len(undetermined), cap):
                 chunk = undetermined[lo:lo + cap]
                 padded = chunk + [chunk[0]] * (cap - len(chunk))
                 sts = build(jnp.asarray(padded, jnp.int32))
                 res = C.complete_stable_beam(
-                    sts, frontier=escalate_frontier, iters=4 * beam_iters,
+                    sts, frontier=escalate_frontier, iters=deep_iters,
                     minimise=False, return_boards=False,
                     # scoped-VMEM limits the escalation tier: the
                     # kernel's stack grows with lane_tile and F (F=16 at
