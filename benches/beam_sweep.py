@@ -44,27 +44,49 @@ def bench_beam(B, F, iters, tile):
         jnp.where(act, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))[None, :], (8, L)
     )
 
-    def run():
-        out = SP.beam_search_planes(
-            planes0, active_row, F=F, iters=iters, minimise=True,
-            batch_tile=tile, simple_phase=SIMPLE,
-        )
-        return out
+    import functools
 
-    out = run()
+    @functools.partial(jax.jit, static_argnames=("m",))
+    def run_m(planes0, active_row, m):
+        def body(i, acc):
+            rolled = tuple(jnp.roll(p, i, axis=0) for p in planes0)
+            out = SP.beam_search_planes(
+                rolled, active_row, F=F, iters=iters, minimise=True,
+                batch_tile=tile, simple_phase=SIMPLE,
+            )
+            return acc + jnp.sum(out[2][:, ::F], dtype=jnp.uint32)
+
+        return jax.lax.fori_loop(0, m, body, jnp.uint32(0))
+
+    out = SP.beam_search_planes(planes0, active_row, F=F, iters=iters,
+                                minimise=True, batch_tile=tile,
+                                simple_phase=SIMPLE)
     found = np.asarray(out[3])[0, ::F]
-    samples = []
-    for _ in range(5):
+
+    # kernel-marginal via on-device fori_loop M-differencing (round-4
+    # discipline: single-call timings fold in the ~26 ms dispatch floor
+    # and compress config differences)
+    def timed(m):
         t0 = time.perf_counter()
-        out = run()
-        np.asarray(out[2])
-        samples.append(time.perf_counter() - t0)
-    dt = statistics.median(samples)
+        np.asarray(run_m(planes0, active_row, m))
+        return time.perf_counter() - t0
+
+    timed(1); timed(5)
+    slopes = []
+    for _ in range(5):
+        slopes.append((timed(5) - timed(1)) / 4)
+    dt = statistics.median(slopes)
+    if dt <= 0:
+        print(json.dumps({"config": f"B={B} F={F} iters={iters} "
+                          f"tile={tile} simple={SIMPLE}",
+                          "error": "non-positive slope"}), flush=True)
+        return 0.0
     print(json.dumps({
         "config": f"B={B} F={F} iters={iters} tile={tile} simple={SIMPLE}",
         "solves_per_sec": B / dt,
         "found": float((found != 0).mean()),
         "vs_baseline": B / dt / 3333.0,
+        "note": "kernel-marginal (M-differenced)",
     }), flush=True)
     return B / dt
 
