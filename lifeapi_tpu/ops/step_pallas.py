@@ -206,6 +206,69 @@ def controlled_rollout(boards, toggles, batch_tile=DEFAULT_BATCH_TILE,
     return from_kernel_layout(lo, hi)
 
 
+def _catalyst_kernel_eo(be_ref, bo_ref, e_ref, o_ref, pe_ref, po_ref,
+                        ze_ref, zo_ref, out_e_ref, out_o_ref,
+                        acc_e_ref, acc_o_ref, *, steps):
+    """Fused catalyst-search rollout: step the placed boards, compare each
+    generation against the (lane-broadcast) baseline trajectory inside
+    the catalyst ZOI, OR the differences into an interaction
+    accumulator.  The whole horizon stays in VMEM — the XLA scan path
+    round-trips HBM every generation (search.py)."""
+    e = e_ref[:]
+    o = o_ref[:]
+    pe = pe_ref[:]
+    po = po_ref[:]
+    ze = ze_ref[:]
+    zo = zo_ref[:]
+
+    def body(t, carry):
+        ee, oo, ae, ao = carry
+        ee, oo = step_eo(ee, oo)
+        # baseline board after t+1 generations, one lane broadcast wide
+        ae = ae | ((ee ^ (be_ref[t] | pe)) & ze)
+        ao = ao | ((oo ^ (bo_ref[t] | po)) & zo)
+        return ee, oo, ae, ao
+
+    z = jnp.zeros_like(e)
+    e, o, ae, ao = jax.lax.fori_loop(0, steps, body, (e, o, z, z))
+    out_e_ref[:] = e
+    out_o_ref[:] = o
+    acc_e_ref[:] = ae
+    acc_o_ref[:] = ao
+
+
+@functools.partial(
+    jax.jit, static_argnames=("batch_tile", "interpret")
+)
+def catalyst_rollout_eo(base_e, base_o, e, o, pe, po, ze, zo,
+                        batch_tile=DEFAULT_BATCH_TILE, interpret=False):
+    """e/o, pe/po (placed catalyst), ze/zo (catalyst ZOI): uint32[64, B];
+    base_e/base_o: uint32[T, 64, 1] — the baseline reaction after each of
+    the T generations.  Returns (final_e, final_o, acc_e, acc_o); a lane
+    interacted iff its acc planes are nonzero."""
+    steps = base_e.shape[0]
+    n_cols, b = e.shape
+    assert n_cols == 64 and base_e.shape == (steps, 64, 1)
+    batch_tile = min(batch_tile, b)
+    assert b % batch_tile == 0, (b, batch_tile)
+    grid = (b // batch_tile,)
+    spec = pl.BlockSpec(
+        (64, batch_tile), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    base_spec = pl.BlockSpec(
+        (steps, 64, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    shp = jax.ShapeDtypeStruct(e.shape, U32)
+    return pl.pallas_call(
+        functools.partial(_catalyst_kernel_eo, steps=steps),
+        out_shape=(shp, shp, shp, shp),
+        grid=grid,
+        in_specs=[base_spec, base_spec] + [spec] * 6,
+        out_specs=(spec, spec, spec, spec),
+        interpret=interpret,
+    )(base_e, base_o, e, o, pe, po, ze, zo)
+
+
 def _rollout_kernel(lo_ref, hi_ref, out_lo_ref, out_hi_ref, *, steps):
     lo = lo_ref[:]
     hi = hi_ref[:]

@@ -43,14 +43,52 @@ def candidate_offsets(active, catalyst, search_area=None):
     return jnp.asarray(np.asarray(cells, dtype=np.int32).reshape(-1, 2))
 
 
+def _catalyst_fused(boards, placed, placed_zoi, base_traj, interpret):
+    """Fused-kernel rollout + interaction detection: the placed boards
+    ride the even/odd Pallas rollout (ops/step_pallas) with the
+    lane-broadcast baseline trajectory compared in-kernel each
+    generation.  Returns (final packed [P, 64, 2], interacted bool[P])."""
+    from .core import bitops
+    from .ops import step_pallas as K
+
+    P = boards.shape[0]
+    pad = -P % 128
+
+    def eo(pk):
+        if pad:
+            pk = jnp.concatenate(
+                [pk, jnp.zeros((pad, 64, 2), jnp.uint32)])
+        lo, hi = K.to_kernel_layout(pk)
+        return bitops.interleave_split(lo, hi)
+
+    e, o = eo(boards)
+    pe, po = eo(placed)
+    ze, zo = eo(placed_zoi)
+    be, bo = bitops.interleave_split(
+        base_traj[..., 0][:, :, None], base_traj[..., 1][:, :, None]
+    )
+    fe, fo, ae, ao = K.catalyst_rollout_eo(
+        be, bo, e, o, pe, po, ze, zo, interpret=interpret
+    )
+    lo, hi = bitops.interleave_merge(fe, fo)
+    final = K.from_kernel_layout(lo, hi)[:P]
+    interacted = jnp.any((ae | ao) != 0, axis=0)[:P]
+    return final, interacted
+
+
 def catalyst_search(active, catalyst, offsets, horizon, recovery_target=None,
-                    batch=None):
+                    batch=None, engine=None, interpret=False):
     """Try every placement: roll the union forward, require the catalyst to
     interact within the horizon and be recovered at the end.
 
     active: packed board of the reaction; catalyst: packed board;
     offsets: int32[P, 2].  Returns a PlacementResult.  Fully batched and
-    jit friendly."""
+    jit friendly.
+
+    ``engine="fused"`` (auto on TPU) runs the whole horizon in ONE Pallas
+    kernel — boards stay in VMEM across generations instead of
+    round-tripping HBM per scan step; ``engine="xla"`` is the portable
+    scan path.  Both are bit-exact (tests/test_search.py)."""
     if recovery_target is None:
         recovery_target = LifeTarget.from_state(catalyst)
 
@@ -72,19 +110,32 @@ def catalyst_search(active, catalyst, offsets, horizon, recovery_target=None,
     # — step it ONCE per generation (not per placement)
     placed_zoi = B.zoi(placed)
 
-    def body(carry, _):
-        cur, baseline, interacted = carry
-        nxt = S.step(cur)
-        base_nxt = S.step(baseline)
-        # catalyst perturbed: its cells differ from (baseline | catalyst)
-        diff = (nxt ^ (base_nxt | placed)) & placed_zoi
-        interacted = interacted | ~B.is_empty(diff)
-        return (nxt, base_nxt, interacted), None
+    if engine is None:
+        engine = "fused" if jax.default_backend() == "tpu" else "xla"
 
-    interacted0 = jnp.zeros(offsets.shape[0], bool)
-    (final, base_final, interacted), _ = jax.lax.scan(
-        body, (boards, active, interacted0), None, length=horizon,
-    )
+    if engine == "fused":
+        def bstep(c, _):
+            n = S.step(c)
+            return n, n
+
+        base_final, base_traj = jax.lax.scan(
+            bstep, active, None, length=horizon)
+        final, interacted = _catalyst_fused(
+            boards, placed, placed_zoi, base_traj, interpret)
+    else:
+        def body(carry, _):
+            cur, baseline, interacted = carry
+            nxt = S.step(cur)
+            base_nxt = S.step(baseline)
+            # catalyst perturbed: cells differ from (baseline | catalyst)
+            diff = (nxt ^ (base_nxt | placed)) & placed_zoi
+            interacted = interacted | ~B.is_empty(diff)
+            return (nxt, base_nxt, interacted), None
+
+        interacted0 = jnp.zeros(offsets.shape[0], bool)
+        (final, base_final, interacted), _ = jax.lax.scan(
+            body, (boards, active, interacted0), None, length=horizon,
+        )
 
     # recovered: wanted cells ON, unwanted OFF at the end
     missing = target_wanted & ~final

@@ -3,6 +3,8 @@ import jax.numpy as jnp
 
 from lifeapi_tpu import search
 from lifeapi_tpu.core import board, rle, step
+from lifeapi_tpu.symmetry import transforms as tr
+from lifeapi_tpu.symmetry.transforms import SymmetryTransform as T
 
 EATER = "2b2o$bobo$bo$2o!"
 GLIDER = "bob$2bo$3o!"
@@ -69,3 +71,20 @@ def test_all_orientations_finds_the_working_one():
     assert len(results) == 8  # eater has trivial symmetry
     hit_orientations = [t for t, r in results if bool(successful_catalysts(r).any())]
     assert hit_orientations, "no orientation of the eater worked"
+
+
+def test_catalyst_fused_matches_xla():
+    """The fused Pallas catalyst rollout (interpret mode on CPU) must be
+    bit-exact with the portable XLA scan engine on every result field."""
+    glider = board.move(rle.parse("bob$2bo$3o!"), 8, 8)
+    eater = board.move(
+        tr.transform(rle.parse("2b2o$bobo$bo$2o!"), T.Rotate270), 24, 24)
+    offsets = jnp.asarray(
+        [[dx, dy] for dx in range(-5, 6) for dy in range(-5, 6)],
+        dtype=jnp.int32)
+    rx = search.catalyst_search(glider, eater, offsets, horizon=64,
+                                engine="xla")
+    rf = search.catalyst_search(glider, eater, offsets, horizon=64,
+                                engine="fused", interpret=True)
+    for f in ("interacted", "recovered", "reaction_changed", "final"):
+        assert (np.asarray(getattr(rx, f)) == np.asarray(getattr(rf, f))).all(), f
