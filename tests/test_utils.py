@@ -49,3 +49,41 @@ def test_stable_invariants():
     st = P.synchronise_state_known(st).stable
     debug.assert_stable_invariants(st)
     debug.check_board_packed(board.empty())
+
+
+def test_lane_ops_cse_dedups_and_dces():
+    """Value-numbering CSE must count duplicate (incl. commuted)
+    subexpressions once and drop dead code; identical-op counts match
+    lane_ops on redundancy-free functions."""
+    import jax.numpy as jnp
+
+    from lifeapi_tpu.utils import roofline as R
+
+    e = jnp.zeros((64, 8), jnp.uint32)
+
+    def dup(x, y):
+        a = x & y
+        b = y & x          # commuted duplicate
+        dead = x ^ y       # dead code
+        del dead
+        return a | b
+
+    assert R.lane_ops(dup, e, e) == 4 * 64 * 8  # dead op counted pre-CSE
+    assert R.lane_ops_cse(dup, e, e) == 2 * 64 * 8  # one AND + one OR
+
+    def clean(x, y):
+        return (x & y) | (x ^ y)
+
+    assert R.lane_ops(clean, e, e) == R.lane_ops_cse(clean, e, e)
+
+
+def test_step_kernel_has_no_cse_redundancy():
+    """The CSA step kernel's pre- and post-CSE counts agree (the basis of
+    its ~110%-of-issue-model roofline claim, BENCH_NOTES)."""
+    from lifeapi_tpu.utils import roofline as R
+
+    assert (R.step_lane_ops_per_board()
+            == R.step_lane_ops_per_board(post_cse=True) == 3328)
+    pre = R.fixpoint_step_lane_ops_per_board()
+    post = R.fixpoint_step_lane_ops_per_board(post_cse=True)
+    assert post < pre  # the shared-threshold circuits carry redundancy
