@@ -92,18 +92,23 @@ def catalyst_search(active, catalyst, offsets, horizon, recovery_target=None,
     if recovery_target is None:
         recovery_target = LifeTarget.from_state(catalyst)
 
-    def place(off):
-        return B.move(catalyst, off[0], off[1])
+    # per-placement translation via conditional static rolls
+    # (core.convolve._move_dyn): a vmap of B.move over traced offsets
+    # lowers to per-board gathers, which dominated the fused pipeline's
+    # wall-clock (round-4 profile)
+    from .core.convolve import _move_dyn
 
-    placed = jax.vmap(place)(offsets)
+    P = offsets.shape[0]
+    dx, dy = offsets[:, 0], offsets[:, 1]
+
+    def place_all(pk):
+        return _move_dyn(jnp.broadcast_to(pk, (P, 64, 2)), dx, dy)
+
+    placed = place_all(catalyst)
     boards = placed | active
 
-    target_wanted = jax.vmap(
-        lambda off: B.move(recovery_target.wanted, off[0], off[1])
-    )(offsets)
-    target_unwanted = jax.vmap(
-        lambda off: B.move(recovery_target.unwanted, off[0], off[1])
-    )(offsets)
+    target_wanted = place_all(recovery_target.wanted)
+    target_unwanted = place_all(recovery_target.unwanted)
 
     # hoisted loop invariants: XLA does not move computations out of a
     # while/scan body, and the baseline reaction is placement-independent
