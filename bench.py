@@ -390,6 +390,105 @@ def _secondary_convolve_sparse(result, on_accel):
     result["convolve_sparse_spread"] = round(spread, 3)
 
 
+def _secondary_convolve_traced(result, on_accel):
+    """Library-entry convolution with TRACED per-board 7-cell operands —
+    the reference's sparse best case re-created faithfully (it reads the
+    operand at runtime too; LifeAPI.hpp:1284-1370).  Uses the
+    population-proportional extraction loop (convolve_sparse_device)."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from lifeapi_tpu.core import board
+    from lifeapi_tpu.core import convolve as CV
+
+    B = 4096 if on_accel else 64
+    m_lo, m_hi = (1, 257) if on_accel else (1, 3)
+
+    rng = np.random.default_rng(0)
+
+    def mk():
+        d = np.zeros((B, 64, 64), bool)
+        for i in range(B):
+            d[i, rng.integers(20, 28, 7), rng.integers(20, 28, 7)] = True
+        return board.from_dense(jnp.asarray(d))
+
+    a, b = mk(), mk()
+
+    @functools.partial(jax.jit, static_argnames=("m",))
+    def run_m(a, b, m):
+        def body(i, acc):
+            ai = jnp.roll(a, i, axis=-2)
+            res = CV.convolve(ai, b, method="sparse")
+            return acc + jnp.sum(res, dtype=jnp.uint32)
+
+        return jax.lax.fori_loop(0, m, body, jnp.uint32(0))
+
+    def timed(m):
+        t0 = time.perf_counter()
+        out = run_m(a, b, m)
+        np.asarray(out)
+        return time.perf_counter() - t0
+
+    median, spread, _ = _median_slope(timed, m_lo, m_hi)
+    if median is None:
+        result["convolve_traced_error"] = "unstable measurement"
+        return
+    rate = B / median
+    result["convolve_traced_per_sec"] = rate
+    result["convolve_traced_vs_baseline"] = rate / BASELINE_CONV_PER_SEC
+    result["convolve_traced_spread"] = round(spread, 3)
+
+
+def _secondary_catalyst(result, on_accel):
+    """End-to-end catalyst-search pipeline placements/s (search.py fused
+    engine; reference inner loop LifeAPI.hpp:1196 + LifeTarget.hpp:53).
+    Host comparison lives in benches/extra.py catalyst."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from lifeapi_tpu import search as SR
+    from lifeapi_tpu.core import board, rle
+    from lifeapi_tpu.symmetry import transforms as tr
+    from lifeapi_tpu.symmetry.transforms import SymmetryTransform as T
+
+    horizon = 64
+    m_lo, m_hi = (1, 1025) if on_accel else (1, 2)
+
+    glider = board.move(rle.parse("bob$2bo$3o!"), 8, 8)
+    eater = board.move(
+        tr.transform(rle.parse("2b2o$bobo$bo$2o!"), T.Rotate270), 24, 24)
+    offsets = SR.candidate_offsets(glider, eater)
+    if not on_accel:
+        offsets = offsets[:64]
+    P = int(offsets.shape[0])
+
+    @functools.partial(jax.jit, static_argnames=("m",))
+    def run_m(active, offsets, m):
+        def body(i, acc):
+            res = SR.catalyst_search(
+                jnp.roll(active, i, axis=-2), eater, offsets, horizon,
+                interpret=not on_accel)
+            return acc + jnp.sum(SR.successful_catalysts(res),
+                                 dtype=jnp.uint32)
+
+        return jax.lax.fori_loop(0, m, body, jnp.uint32(0))
+
+    def timed(m):
+        t0 = time.perf_counter()
+        out = run_m(glider, offsets, m)
+        np.asarray(out)
+        return time.perf_counter() - t0
+
+    median, spread, _ = _median_slope(timed, m_lo, m_hi)
+    if median is None:
+        result["catalyst_error"] = "unstable measurement"
+        return
+    result["catalyst_placements_per_sec"] = P / median
+    result["catalyst_spread"] = round(spread, 3)
+
+
 def main():
     t_start = time.perf_counter()
     on_accel = jax.devices()[0].platform != "cpu"
@@ -414,6 +513,8 @@ def main():
         ("beam", _secondary_beam),
         ("propagate", _secondary_propagate),
         ("convolve_sparse", _secondary_convolve_sparse),
+        ("convolve_traced", _secondary_convolve_traced),
+        ("catalyst", _secondary_catalyst),
     )
     if ok:
         for name, fn in secondaries:

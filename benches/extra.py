@@ -551,7 +551,7 @@ def bench_portfolio(replicas=1024, iters=192, include_dfs=True):
     }), flush=True)
 
 
-def bench_catalyst(horizon=64, M=8):
+def bench_catalyst(horizon=64, M=1024):
     """End-to-end catalyst-search pipeline (search.py) — the reference
     user's actual workload (round-3 VERDICT weak #5): every candidate
     placement of an eater against a glider lane, stepped ``horizon``
