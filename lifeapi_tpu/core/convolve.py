@@ -322,7 +322,7 @@ def _extract_first_cell(rem):
     return x, y, clear, empty
 
 
-def convolve_sparse_device(a, b):
+def convolve_sparse_device(a, b, max_cells=None):
     """OR-convolution with a DEVICE-resident (traced or concrete) sparse
     operand: a data-dependent while_loop peels ONE ON cell of ``b`` per
     board per iteration (isolate lowest set bit, clear it, shift ``a``
@@ -342,10 +342,6 @@ def convolve_sparse_device(a, b):
     rem0 = jnp.broadcast_to(b, shape)
     import jax
 
-    def cond(carry):
-        rem, _ = carry
-        return jnp.any(rem != 0)
-
     def body(carry):
         rem, acc = carry
         x, y, clear, empty = _extract_first_cell(rem)
@@ -354,9 +350,20 @@ def convolve_sparse_device(a, b):
                               shifted)
         return rem & ~clear, acc
 
-    _, acc = jax.lax.while_loop(
-        cond, body, (rem0, jnp.zeros(shape, jnp.uint32))
-    )
+    init = (rem0, jnp.zeros(shape, jnp.uint32))
+    if max_cells is not None:
+        # proven population bound (auto-dispatch on concrete operands):
+        # a static-trip fori_loop skips the while_loop's per-iteration
+        # convergence sync
+        _, acc = jax.lax.fori_loop(
+            0, int(max_cells), lambda i, c: body(c), init)
+        return acc
+
+    def cond(carry):
+        rem, _ = carry
+        return jnp.any(rem != 0)
+
+    _, acc = jax.lax.while_loop(cond, body, init)
     return acc
 
 
@@ -399,10 +406,10 @@ def convolve(a, b, method=None, small=None):
         # device-side extraction loop, bounded by the proven max pop
         mp = _max_pop_concrete(b)
         if mp is not None and mp <= _SPARSE_MAX_CELLS:
-            return convolve_sparse_device(a, b)
+            return convolve_sparse_device(a, b, max_cells=mp)
         mp = _max_pop_concrete(a)
         if mp is not None and mp <= _SPARSE_MAX_CELLS:
-            return convolve_sparse_device(b, a)
+            return convolve_sparse_device(b, a, max_cells=mp)
     if method == "sparse":
         # caller asserts a sparse operand (the traced-operand analog of
         # the reference's population-proportional Convolve); exact for
