@@ -232,8 +232,12 @@ class LifeState:
         return LifeState(C.interaction_offsets(self.packed, other.packed))
 
     # -- matching ----------------------------------------------------------
-    def convolve(self, other):
-        return LifeState(C.convolve(self.packed, other.packed))
+    def convolve(self, other, method=None):
+        """OR-convolution (reference ``Convolve``).  ``method="sparse"``
+        selects the traced-operand extraction loop
+        (core.convolve.convolve_sparse_device)."""
+        return LifeState(C.convolve(self.packed, other.packed,
+                                    method=method))
 
     def match_live(self, live):
         return LifeState(C.match_live(self.packed, live.packed))
