@@ -107,9 +107,12 @@ def bench_beam_e2e(B, F=4, iters=24, tile=256):
 if __name__ == "__main__":
     import sys
     if "fix2" in sys.argv:
+        bench_fixpoint(4096, 128)
+        bench_fixpoint(4096, 256)
         bench_fixpoint(8192, 256)
         bench_fixpoint(16384, 256)
         bench_fixpoint(16384, 128)
+        bench_fixpoint(16384, 512)
     else:
         for tile in (128, 256):
             bench_fixpoint(1024, tile)
