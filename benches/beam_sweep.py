@@ -95,13 +95,13 @@ if __name__ == "__main__":
     configs = [
         (2048, 4, 24, 128),
         (2048, 4, 24, 256),
-        (2048, 4, 24, 512),
-        (4096, 4, 24, 512),
-        (2048, 8, 16, 512),
-        (8192, 4, 24, 1024),
+        (8192, 4, 24, 256),
+        (2048, 8, 16, 128),
     ]
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    if args:
-        configs = [tuple(int(x) for x in a.split(",")) for a in args]
-    for B, F, iters, tile in configs:
-        bench_beam(B, F, iters, tile)
+    for cfg in configs:
+        try:
+            bench_beam(*cfg)
+        except Exception as exc:  # e.g. scoped-VMEM overflow at wide F/tile
+            import json
+            print(json.dumps({"config": str(cfg),
+                              "error": str(exc)[:200]}), flush=True)

@@ -107,12 +107,15 @@ def bench_beam_e2e(B, F=4, iters=24, tile=256):
 if __name__ == "__main__":
     import sys
     if "fix2" in sys.argv:
-        bench_fixpoint(4096, 128)
-        bench_fixpoint(4096, 256)
-        bench_fixpoint(8192, 256)
-        bench_fixpoint(16384, 256)
-        bench_fixpoint(16384, 128)
-        bench_fixpoint(16384, 512)
+        for cfg in ((4096, 128), (4096, 256), (8192, 256), (16384, 256),
+                    (16384, 128)):
+            # tile 512 exceeds the 16 MB scoped-VMEM limit (17.85 MB
+            # stack, measured round 4) and is omitted
+            try:
+                bench_fixpoint(*cfg)
+            except Exception as exc:
+                print(json.dumps({"config": str(cfg),
+                                  "error": str(exc)[:200]}), flush=True)
     else:
         for tile in (128, 256):
             bench_fixpoint(1024, tile)
