@@ -55,6 +55,31 @@ def _branch_cell(st: HostStable, settable):
     return _first_on(settable)
 
 
+def _branch_cell_win(st: HostStable, sett_w, xs, ys):
+    """Windowed ``_branch_cell``: every settable cell lies in the window
+    bbox (>= 2 cells from the window edge), where the window-local
+    counts and vulnerability bits are exact; candidate ordering matches
+    the full-board raw-index order because no candidate exists outside
+    the window.  Returns full-board coordinates."""
+    def first(mask):
+        cell = _first_on(mask)
+        if cell is None:
+            return None
+        return cell[0] + xs.start, cell[1] + ys.start
+
+    cell = first(st.vulnerable_win(xs, ys) & sett_w)
+    if cell is not None:
+        return cell
+    unk9 = count9(st.unknown[xs, ys])
+    cell = first(sett_w & (unk9 == 2))
+    if cell is not None:
+        return cell
+    cell = first(sett_w & (unk9 == 3))
+    if cell is not None:
+        return cell
+    return first(sett_w)
+
+
 class _Search:
     def __init__(self, deadline, minimise, use_seed, seed):
         self.deadline = deadline
@@ -77,20 +102,36 @@ class _Search:
             if current_pop >= self.max_pop:
                 return CompletionResult.COMPLETED
 
-            dead0_ruled = (st.ruled & opt.DEAD0) != 0
-            settable = st.perturbed_unknowns() & zoi(dead0_ruled)
-            if not settable.any():
-                self.best = st.state.copy()
-                self.max_pop = current_pop
-                return CompletionResult.COMPLETED
+            win = None if self.use_seed else st.query_window()
+            if win is not None and win[0].stop > win[0].start:
+                # windowed branch queries (reference strip-kernel
+                # counterpart, LifeStable.hpp:731-1249): settable cells
+                # all live in the window's bbox, where window-local
+                # counts are exact
+                xs, ys = win
+                rl = st.ruled[xs, ys]
+                sett_w = ((rl != 0) & st.unknown[xs, ys]
+                          & zoi((rl & opt.DEAD0) != 0))
+                if not sett_w.any():
+                    self.best = st.state.copy()
+                    self.max_pop = current_pop
+                    return CompletionResult.COMPLETED
+                cell = _branch_cell_win(st, sett_w, xs, ys)
+            else:
+                dead0_ruled = (st.ruled & opt.DEAD0) != 0
+                settable = st.perturbed_unknowns() & zoi(dead0_ruled)
+                if not settable.any():
+                    self.best = st.state.copy()
+                    self.max_pop = current_pop
+                    return CompletionResult.COMPLETED
 
-            if self.use_seed:
-                seed_zoi = self.seed.copy()
-                while not (settable & seed_zoi).any():
-                    seed_zoi = zoi(seed_zoi)
-                settable = settable & seed_zoi
+                if self.use_seed:
+                    seed_zoi = self.seed.copy()
+                    while not (settable & seed_zoi).any():
+                        seed_zoi = zoi(seed_zoi)
+                    settable = settable & seed_zoi
 
-            cell = _branch_cell(st, settable)
+                cell = _branch_cell(st, settable)
             if cell is None:
                 return CompletionResult.INCONSISTENT
 

@@ -222,3 +222,87 @@ def test_join_and_compatible():
     # join forgets everything they disagree on
     assert bool(jnp.all(j.unknown == (st1.state | st2.unknown)))
     assert bool(P.compatible_with(st1, st1))
+
+
+def test_windowed_propagate_matches_full(rng):
+    """DFS-style mutation/propagate sequences: the windowed fixpoint
+    (HostStable auto-windows after the first full propagate) must agree
+    exactly with a clone that is forced onto the full-board path."""
+    from lifeapi_tpu.stable import host as H
+
+    for trial in range(8):
+        state = np.zeros((64, 64), bool)
+        anchors = rng.integers(18, 40, size=(2, 2))
+        for x, y in anchors:
+            state[x, y] = True
+        unknown = np.zeros((64, 64), bool)
+        for x, y in anchors:
+            unknown[x - 2:x + 3, y - 2:y + 3] = True
+        unknown &= ~state
+
+        a = H.HostStable(state, unknown)
+        b = H.HostStable(state, unknown)
+        ok_a = a.propagate()
+        b._full_done = False  # never allow the window path
+        ok_b = b.propagate()
+        b._full_done = False
+        assert ok_a == ok_b
+        for _ in range(6):
+            ua = np.argwhere(a.unknown)
+            if len(ua) == 0 or not ok_a[0]:
+                break
+            cell = tuple(ua[rng.integers(0, len(ua))])
+            mask = np.zeros((64, 64), bool)
+            mask[cell] = True
+            if rng.random() < 0.5:
+                a.set_on(mask)
+                b.set_on(mask)
+            else:
+                a.set_off(mask)
+                b.set_off(mask)
+            ok_a = a.propagate()
+            ok_b = b.propagate()
+            b._full_done = False
+            assert ok_a[0] == ok_b[0], trial
+            if ok_a[0]:
+                assert (a.state == b.state).all()
+                assert (a.unknown == b.unknown).all()
+                assert (a.ruled == b.ruled).all()
+
+
+def test_windowed_dfs_matches_unwindowed(rng):
+    """complete_stable with the windowed propagate + windowed branch
+    queries must return bit-identical results to the full-board path."""
+    from lifeapi_tpu.stable import complete as C
+    from lifeapi_tpu.stable import host as H
+
+    for _ in range(3):
+        k = int(rng.integers(2, 4))
+        anchors = [tuple(map(int, a))
+                   for a in rng.integers(18, 38, size=(k, 2))]
+        state = np.zeros((64, 64), bool)
+        unknown = np.zeros((64, 64), bool)
+        for x, y in anchors:
+            state[x, y] = True
+            unknown[x - 2:x + 3, y - 2:y + 3] = True
+        unknown &= ~state
+
+        r1, b1 = C.complete_stable(H.HostStable(state, unknown),
+                                   timeout=30.0, minimise=True)
+        orig_qw = H.HostStable.query_window
+        orig_pr = H.HostStable.propagate
+        H.HostStable.query_window = lambda self: None
+
+        def full_prop(self):
+            self._full_done = False
+            return orig_pr(self)
+
+        H.HostStable.propagate = full_prop
+        try:
+            r2, b2 = C.complete_stable(H.HostStable(state, unknown),
+                                       timeout=30.0, minimise=True)
+        finally:
+            H.HostStable.query_window = orig_qw
+            H.HostStable.propagate = orig_pr
+        assert r1 == r2
+        assert (b1 == b2).all()
