@@ -217,3 +217,35 @@ def sharded_rollout(boards, steps, mesh):
         return final, jax.lax.psum(local_pop, both)
 
     return run(boards)
+
+
+def sharded_catalyst_search(active, catalyst, offsets, horizon, mesh,
+                            engine="xla"):
+    """Catalyst placement sweep data-parallel over the whole mesh:
+    ``offsets`` int32[P, 2] sharded across devices (P a multiple of the
+    device count), each shard running the full search.py pipeline
+    locally, plus a psum of the global hit count.  Returns
+    (interacted bool[P], recovered bool[P], global_hits []).
+
+    The per-shard engine defaults to the portable XLA scan
+    (``engine="fused"`` selects the Pallas kernel on real TPU meshes);
+    both are bit-exact (tests/test_search.py)."""
+    from .. import search as SR
+
+    both = (SCENARIO_AXIS, CANDIDATE_AXIS)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(both)),
+        out_specs=(P(both), P(both), P()),
+        check_vma=False,
+    )
+    def run(active_l, catalyst_l, offsets_l):
+        res = SR.catalyst_search(active_l, catalyst_l, offsets_l, horizon,
+                                 engine=engine)
+        hits = SR.successful_catalysts(res)
+        return (res.interacted, res.recovered,
+                jax.lax.psum(jnp.sum(hits, dtype=jnp.int32), both))
+
+    return run(active, catalyst, offsets)

@@ -138,3 +138,28 @@ def test_sharded_rollout(mesh8):
     assert (np.asarray(finals) == np.asarray(jnp.broadcast_to(
         expect, (B, 64, 2)))).all()
     assert int(total_pop) == 5 * B
+
+
+def test_sharded_catalyst_search_matches_single(mesh8):
+    """Sharded placement sweep == single-device search, hit for hit."""
+    import jax.numpy as jnp
+
+    from lifeapi_tpu import search as SR
+    from lifeapi_tpu.core import board, rle
+    from lifeapi_tpu.parallel import elite
+    from lifeapi_tpu.symmetry import transforms as tr
+    from lifeapi_tpu.symmetry.transforms import SymmetryTransform as T
+
+    glider = board.move(rle.parse("bob$2bo$3o!"), 8, 8)
+    eater = board.move(
+        tr.transform(rle.parse("2b2o$bobo$bo$2o!"), T.Rotate270), 24, 24)
+    offsets = jnp.asarray(
+        [[dx, dy] for dx in range(-8, 8) for dy in range(-8, 8)],
+        dtype=jnp.int32)
+    inter, rec, hits = elite.sharded_catalyst_search(
+        glider, eater, offsets, 100, mesh8)
+    ref = SR.catalyst_search(glider, eater, offsets, 100, engine="xla")
+    assert int(hits) == int(np.asarray(
+        SR.successful_catalysts(ref)).sum())
+    assert (np.asarray(inter) == np.asarray(ref.interacted)).all()
+    assert (np.asarray(rec) == np.asarray(ref.recovered)).all()
