@@ -90,18 +90,6 @@ def eo_to_u64(e, o):
     return lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32))
 
 
-def _fail(reason, **extra):
-    out = {
-        "metric": "life_steps_per_sec_per_chip",
-        "value": 0.0,
-        "unit": "steps/s",
-        "vs_baseline": 0.0,
-        "error": reason,
-    }
-    out.update(extra)
-    print(json.dumps(out))
-
-
 def _median_slope(timed, m_lo, m_hi, reps=REPS, rounds=ROUNDS,
                   spread_limit=SPREAD_LIMIT):
     """Median M-difference slope with the round-3 stability discipline.

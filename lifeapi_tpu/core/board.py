@@ -235,6 +235,30 @@ def move(board, dx, dy):
     return roll_y(roll_x(board, dx), dy)
 
 
+def _roll_x_dyn(board, dx):
+    """Per-board torus roll along x by traced amounts: 6 conditional
+    static rolls (binary decomposition of dx) — a per-lane dynamic
+    sublane permute does not exist on the VPU, but static rolls +
+    selects do."""
+    out = board
+    for k in range(6):
+        bit = ((dx >> k) & 1).astype(bool)[..., None, None]
+        out = jnp.where(bit, jnp.roll(out, 1 << k, axis=-2), out)
+    return out
+
+
+def move_dyn(board, dx, dy):
+    """:func:`move` with PER-BOARD traced ``(dx, dy)`` (int32 arrays
+    broadcasting against the batch): x via conditional static rolls, y
+    via the funnel-shift rotate (which broadcasts traced shift amounts).
+    A ``vmap`` of :func:`move` over traced offsets lowers to per-board
+    gathers instead and is far slower (BENCH_NOTES round 4)."""
+    out = _roll_x_dyn(board, dx)
+    lo, hi = out[..., 0], out[..., 1]
+    lo, hi = bitops.rotl64(lo, hi, dy[..., None])
+    return jnp.stack([lo, hi], axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # Flips / transposes (bit-level; see symmetry/ for the full transform set)
 # ---------------------------------------------------------------------------

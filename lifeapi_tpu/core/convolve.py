@@ -271,28 +271,8 @@ def convolve_sparse(a, cells):
     return jnp.zeros_like(a) if out is None else out
 
 
-def _roll_x_dyn(board, dx):
-    """Per-board torus roll along x by traced amounts: 6 conditional
-    static rolls (binary decomposition of dx) — a per-lane dynamic
-    sublane permute does not exist on the VPU, but static rolls +
-    selects do."""
-    out = board
-    for k in range(6):
-        bit = ((dx >> k) & 1).astype(bool)[..., None, None]
-        out = jnp.where(bit, jnp.roll(out, 1 << k, axis=-2), out)
-    return out
-
-
-def _move_dyn(board, dx, dy):
-    """``board_mod.move`` with PER-BOARD traced (dx, dy): x via
-    conditional static rolls, y via the funnel-shift rotate (which
-    broadcasts traced shift amounts)."""
-    from . import bitops
-
-    out = _roll_x_dyn(board, dx)
-    lo, hi = out[..., 0], out[..., 1]
-    lo, hi = bitops.rotl64(lo, hi, dy[..., None])
-    return jnp.stack([lo, hi], axis=-1)
+# batched dynamic translation lives in core.board (public API)
+_move_dyn = board_mod.move_dyn
 
 
 def _extract_first_cell(rem):

@@ -93,16 +93,14 @@ def catalyst_search(active, catalyst, offsets, horizon, recovery_target=None,
         recovery_target = LifeTarget.from_state(catalyst)
 
     # per-placement translation via conditional static rolls
-    # (core.convolve._move_dyn): a vmap of B.move over traced offsets
-    # lowers to per-board gathers, which dominated the fused pipeline's
+    # (board.move_dyn): a vmap of B.move over traced offsets lowers to
+    # per-board gathers, which dominated the fused pipeline's
     # wall-clock (round-4 profile)
-    from .core.convolve import _move_dyn
-
     P = offsets.shape[0]
     dx, dy = offsets[:, 0], offsets[:, 1]
 
     def place_all(pk):
-        return _move_dyn(jnp.broadcast_to(pk, (P, 64, 2)), dx, dy)
+        return B.move_dyn(jnp.broadcast_to(pk, (P, 64, 2)), dx, dy)
 
     placed = place_all(catalyst)
     boards = placed | active

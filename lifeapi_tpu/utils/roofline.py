@@ -129,19 +129,24 @@ def _cse_count_jaxpr(jaxpr):
     for v in list(jaxpr.invars) + list(jaxpr.constvars):
         vn[v] = fresh()
 
-    kept = []        # (eqn, key) for live analysis
-    nested = 0
+    _CALL_PRIMS = ("jit", "pjit", "closed_call", "custom_jvp_call",
+                   "custom_vjp_call")
+
+    kept = []          # live-analysis worklist, program order
+    inner_count = {}   # id(eqn) -> nested sub-jaxpr count (call prims)
     for eqn in jaxpr.eqns:
         name = eqn.primitive.name
-        if name in ("pjit", "closed_call", "custom_jvp_call",
-                    "custom_vjp_call"):
-            inner = eqn.params.get("jaxpr")
+        if name in _CALL_PRIMS:
+            inner = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
+            n = 0
             if inner is not None:
-                nested += _cse_count_jaxpr(
+                n = _cse_count_jaxpr(
                     inner.jaxpr if hasattr(inner, "jaxpr") else inner
                 )
+            inner_count[id(eqn)] = n
             for out in eqn.outvars:
                 vn[out] = fresh()
+            kept.append(eqn)
             continue
         ops = [operand_vn(v) for v in eqn.invars]
         if name in _COMMUTATIVE:
@@ -170,12 +175,15 @@ def _cse_count_jaxpr(jaxpr):
         for v in eqn.invars:
             if not hasattr(v, "val"):
                 live.add(vn[v])
+        if id(eqn) in inner_count:
+            total += inner_count[id(eqn)]
+            continue
         if eqn.primitive.name in _FREE_PRIMS:
             continue
         for out in eqn.outvars:
             shape = getattr(out.aval, "shape", ())
             total += int(np.prod(shape, dtype=np.int64)) if shape else 1
-    return total + nested
+    return total
 
 
 def lane_ops_cse(fn, *example_args):

@@ -367,7 +367,12 @@ def unweldable_mask(a: LifeWeld, b: LifeWeld, starting_good=None,
             if residue:
                 budget = (solve_timeout if escalate_dfs_timeout is None
                           else escalate_dfs_timeout)
-                sts = build(jnp.asarray(residue, jnp.int32))
+                # pad to a fixed-shape multiple so the jitted builder's
+                # executable is reused across residue sizes (a novel
+                # shape means a fresh remote compile on tunneled TPUs)
+                cap3 = -(-len(residue) // 128) * 128
+                padded3 = residue + [residue[0]] * (cap3 - len(residue))
+                sts = build(jnp.asarray(padded3, jnp.int32))
                 states = np.asarray(sts.state)
                 unknowns = np.asarray(sts.unknown)
                 ruleds = np.asarray(sts.ruled)

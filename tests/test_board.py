@@ -268,3 +268,17 @@ def test_buffer_around_batched():
     assert bool(board.equal(out[0], expect))
     assert int(board.population(out[1])) == 64 * 64
     assert bool(board.is_empty(out[2]))
+
+
+def test_move_dyn_matches_move(rng):
+    """Public batched dynamic translation == static move, including
+    negative and >=64 offsets (mod-64 torus semantics)."""
+    d = rng.random((6, 64, 64)) < 0.2
+    b = board.from_dense(jnp.asarray(d))
+    offs = [(0, 0), (3, -5), (-17, 63), (64, 1), (-64, -64), (70, 130)]
+    dx = jnp.asarray([o[0] for o in offs], jnp.int32)
+    dy = jnp.asarray([o[1] for o in offs], jnp.int32)
+    got = np.asarray(board.move_dyn(b, dx, dy))
+    for i, (x, y) in enumerate(offs):
+        exp = np.asarray(board.move(b[i], int(x), int(y)))
+        assert (got[i] == exp).all(), (x, y)
