@@ -277,7 +277,8 @@ def _simple_quiescence(planes, alive, max_iters):
     return (sl, sh, ul, uh) + tuple(planes[4:]), s_abort, s_changed
 
 
-def _run_fixpoint(planes, max_iters, alive0=None, simple_phase=False):
+def _run_fixpoint(planes, max_iters, alive0=None, simple_phase=False,
+                  unroll=1):
     """In-VMEM propagate fixpoint: loop the step until no active board in
     the tile changes.  Returns (planes, aborted, changed_ever) with
     aborted/changed as per-lane uint32 bitmasks (lane-constant).
@@ -288,7 +289,10 @@ def _run_fixpoint(planes, max_iters, alive0=None, simple_phase=False):
     every simple-rule deduction is also made by the full circuit — so
     this is purely a speed knob (asserted by tests/test_stable_pallas).
     Default OFF: measured to lose 13-14% on the standard workloads (see
-    _simple_quiescence)."""
+    _simple_quiescence).  ``unroll`` runs that many steps per loop
+    iteration (sound: deductions are monotone and each step is masked
+    per lane, so an extra step past a lane's fixpoint is a no-op) — an
+    A/B knob for the in-kernel while_loop's per-iteration overhead."""
     ones = ~jnp.zeros_like(planes[0])
     zeros = jnp.zeros_like(planes[0])
 
@@ -304,15 +308,9 @@ def _run_fixpoint(planes, max_iters, alive0=None, simple_phase=False):
         _, alive, _, _, it = carry
         return jnp.any(alive != 0) & (it < max_iters)
 
-    def body(carry):
-        planes, alive, aborted, changed_ever, it = carry
-        if simple_phase:
-            planes, s_abort, s_changed = _simple_quiescence(
-                planes, alive, max_iters
-            )
-            aborted = aborted | s_abort
-            changed_ever = changed_ever | s_changed
-            alive = alive & ~s_abort
+    def one_step(planes, alive, aborted, changed_ever):
+        """One masked propagate step: lanes that abort keep their old
+        planes; quiesced/dead lanes are unaffected."""
         new_planes, changed, abort = _step_planes(planes)
         abort_l = lane_any(abort)
         changed_l = lane_any(changed)
@@ -323,7 +321,21 @@ def _run_fixpoint(planes, max_iters, alive0=None, simple_phase=False):
         aborted = aborted | (alive & abort_l)
         changed_ever = changed_ever | (alive & changed_l)
         alive = alive & ~abort_l & changed_l
-        return planes, alive, aborted, changed_ever, it + 1
+        return planes, alive, aborted, changed_ever
+
+    def body(carry):
+        planes, alive, aborted, changed_ever, it = carry
+        if simple_phase:
+            planes, s_abort, s_changed = _simple_quiescence(
+                planes, alive, max_iters
+            )
+            aborted = aborted | s_abort
+            changed_ever = changed_ever | s_changed
+            alive = alive & ~s_abort
+        for _ in range(unroll):
+            planes, alive, aborted, changed_ever = one_step(
+                planes, alive, aborted, changed_ever)
+        return planes, alive, aborted, changed_ever, it + unroll
 
     alive_init = ones if alive0 is None else alive0
     planes, _, aborted, changed_ever, _ = jax.lax.while_loop(
@@ -332,14 +344,14 @@ def _run_fixpoint(planes, max_iters, alive0=None, simple_phase=False):
     return planes, aborted, changed_ever
 
 
-def _fixpoint_kernel(*refs, max_iters, simple_phase=False):
+def _fixpoint_kernel(*refs, max_iters, simple_phase=False, unroll=1):
     """Entire propagate fixpoint in VMEM.  Outputs the final planes plus
     per-lane consistent / changed bitmasks (uint32[64, Bt])."""
     ins = refs[:20]
     outs = refs[20:]
     planes = tuple(r[:] for r in ins)
     planes, aborted, changed_ever = _run_fixpoint(
-        planes, max_iters, simple_phase=simple_phase)
+        planes, max_iters, simple_phase=simple_phase, unroll=unroll)
     for i in range(20):
         outs[i][:] = planes[i]
     outs[20][:] = changed_ever
@@ -464,10 +476,11 @@ def _from_kernel_planes(planes):
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "batch_tile",
-                                             "interpret", "simple_phase"))
+                                             "interpret", "simple_phase",
+                                             "unroll"))
 def propagate_fused_inkernel(bst: BP.BitStable, max_iters=256,
                              batch_tile=128, interpret=False,
-                             simple_phase=False):
+                             simple_phase=False, unroll=1):
     """Whole propagate fixpoint in ONE pallas call: the while_loop runs in
     VMEM, boards in a tile iterate until the slowest converges.  Contract:
     per-board (consistent, changed); planes of INCONSISTENT boards are
@@ -482,7 +495,7 @@ def propagate_fused_inkernel(bst: BP.BitStable, max_iters=256,
     out_shapes = tuple(jax.ShapeDtypeStruct((64, b), U32) for _ in range(22))
     outs = pl.pallas_call(
         functools.partial(_fixpoint_kernel, max_iters=max_iters,
-                          simple_phase=simple_phase),
+                          simple_phase=simple_phase, unroll=unroll),
         out_shape=out_shapes,
         grid=grid,
         in_specs=[spec] * 20,
