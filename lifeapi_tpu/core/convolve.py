@@ -193,7 +193,10 @@ def _counts_fused(da, db):
     da = jnp.broadcast_to(da, shape).reshape((-1,) + shape[-2:])
     db = jnp.broadcast_to(db, shape).reshape((-1,) + shape[-2:])
     B = da.shape[0]
-    nb = min(32, B)
+    # tile 64 is the measured knee for the two-prime kernel: 2.47e6 /
+    # 2.91e6 / 3.35e6 conv/s at nb 16/32/64 (round-4 M-differenced A/B);
+    # nb=128 exceeds scoped VMEM and fails to compile
+    nb = min(64, B)
     pad = -B % nb
     if pad:
         da = jnp.concatenate([da, jnp.zeros((pad,) + shape[-2:], da.dtype)])
