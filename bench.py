@@ -59,6 +59,8 @@ BASELINE_STEPS_PER_SEC = 5.55e6  # reference LifeAPI.hpp:1196-1216, 1 CPU core
 BASELINE_SOLVES_PER_SEC = 3333.0  # ~0.3 ms/solve CPU DFS, LifeStable.hpp:1414
 BASELINE_FIXPOINTS_PER_SEC = 6.7e5  # LifeStable.hpp:718-729 (BASELINE.md)
 BASELINE_CONV_PER_SEC = 1.0e7  # LifeAPI.hpp:1293 sparse best case
+BASELINE_MPC_SOLVES_PER_SEC = 62.5  # BASELINE.json config 2: 1000/s on v5e-16
+BASELINE_ORBIT_PER_SEC = 1.85e5  # reference GetOctoHash (benches/ref_harness)
 
 M_LO, M_HI = 1, 1025  # on-device kernel-call loop counts; slope over the diff
 REPS = 5              # slope samples per round; median reported
@@ -477,6 +479,115 @@ def _secondary_catalyst(result, on_accel):
     result["catalyst_spread"] = round(spread, 3)
 
 
+def _secondary_mpc(result, on_accel):
+    """MPC engine solves/s at the literal BASELINE.json config-2 shape:
+    horizon-32, 64-candidate adam optimization + bit-exact hard rescore
+    (mpc/solver.py; target >= 62.5 solves/s/chip = 1000 on v5e-16).
+    Same M-differencing discipline as every other secondary; matches
+    benches/extra.py bench_mpc within spread (VERDICT r04 directive #2)."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from lifeapi_tpu.core import board, rle
+    from lifeapi_tpu.mpc import CostWeights, MPCProblem, solver
+    from lifeapi_tpu.target import LifeTarget
+
+    n_candidates = 64 if on_accel else 4
+    horizon = 32 if on_accel else 4
+    iters = 100 if on_accel else 2
+    # one solve is ~0.3 s of real compute: m_hi=9 puts ~2 s in the
+    # differential, far above dispatch jitter
+    m_lo, m_hi = (1, 9) if on_accel else (1, 2)
+
+    target = LifeTarget.from_state(board.move(rle.parse("2o$2o!"), 31, 31))
+    mask = jnp.zeros((64, 64), bool).at[20:44, 20:44].set(True)
+    problem = MPCProblem(
+        initial=board.empty(), target=target, horizon=horizon,
+        control_mask=mask, weights=CostWeights(),
+    )
+    logits0 = solver.init_logits(jax.random.key(0), problem, n_candidates)
+
+    @functools.partial(jax.jit, static_argnames=("m",))
+    def run_m(lg0, m):
+        def body(i, acc):
+            # candidate-axis roll varies the data per iteration so no
+            # solve can be CSE'd away; compute is iteration-invariant
+            lg = jnp.roll(lg0, i, axis=0)
+            out, _ = solver.solve_gradient(lg, problem, iters=iters)
+            probs = jax.nn.sigmoid(out) * problem.control_mask
+            costs, _ = jax.vmap(
+                lambda p: solver.hard_score(p, problem))(probs)
+            return acc + jnp.min(costs)
+
+        return jax.lax.fori_loop(0, m, body, jnp.float32(0))
+
+    def timed(m):
+        t0 = time.perf_counter()
+        out = run_m(logits0, m)
+        np.asarray(out)
+        return time.perf_counter() - t0
+
+    median, spread, _ = _median_slope(timed, m_lo, m_hi)
+    if median is None:
+        result["mpc_error"] = "unstable measurement"
+        return
+    rate = n_candidates / median
+    result["mpc_solves_per_sec"] = rate
+    result["mpc_vs_baseline"] = rate / BASELINE_MPC_SOLVES_PER_SEC
+    result["mpc_spread"] = round(spread, 3)
+
+
+def _secondary_orbit(result, on_accel):
+    """Full 16-transform orbit sweep + on-device 64-bit digests per
+    board (packed bit-permutation transforms, symmetry/orbits.py
+    fingerprint).  Baseline 1.85e5/s = the measured reference
+    GetOctoHash (Symmetry.hpp:774-785, benches/ref_harness).  Round-4
+    published 5.7-6.6e5/s was a single-dispatch timing at the ~26 ms
+    tunnel floor (benches/extra.py, M=4) — this is the kernel-marginal
+    M-differenced rate."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from lifeapi_tpu.symmetry import orbits as OR
+    from lifeapi_tpu.symmetry.transforms import ALL_TRANSFORMS, transform
+
+    B = 4096 if on_accel else 64
+    m_lo, m_hi = (1, 257) if on_accel else (1, 2)
+
+    rng = np.random.default_rng(0)
+    packed = jax.device_put(
+        rng.integers(0, 2**32, size=(B, 64, 2), dtype=np.uint32))
+
+    @functools.partial(jax.jit, static_argnames=("m",))
+    def run_m(boards, m):
+        def body(i, acc):
+            bi = jnp.roll(boards, i, axis=-2)
+            h = jnp.uint32(0)
+            for t in ALL_TRANSFORMS:
+                fa, fb = OR.fingerprint(transform(bi, t))
+                h = h ^ fa ^ fb
+            return acc + jnp.sum(h, dtype=jnp.uint32)
+
+        return jax.lax.fori_loop(0, m, body, jnp.uint32(0))
+
+    def timed(m):
+        t0 = time.perf_counter()
+        out = run_m(packed, m)
+        np.asarray(out)
+        return time.perf_counter() - t0
+
+    median, spread, _ = _median_slope(timed, m_lo, m_hi)
+    if median is None:
+        result["orbit_error"] = "unstable measurement"
+        return
+    rate = B / median
+    result["orbit_sweeps_per_sec"] = rate
+    result["orbit_vs_baseline"] = rate / BASELINE_ORBIT_PER_SEC
+    result["orbit_spread"] = round(spread, 3)
+
+
 def main():
     t_start = time.perf_counter()
     on_accel = jax.devices()[0].platform != "cpu"
@@ -499,10 +610,12 @@ def main():
     # degrade coverage, not correctness).
     secondaries = (
         ("beam", _secondary_beam),
+        ("mpc", _secondary_mpc),
         ("propagate", _secondary_propagate),
         ("convolve_sparse", _secondary_convolve_sparse),
         ("convolve_traced", _secondary_convolve_traced),
         ("catalyst", _secondary_catalyst),
+        ("orbit", _secondary_orbit),
     )
     if ok:
         for name, fn in secondaries:

@@ -394,9 +394,15 @@ def convolve(a, b, method=None, small=None):
         if mp is not None and mp <= _SPARSE_MAX_CELLS:
             return convolve_sparse_device(b, a, max_cells=mp)
     if method == "sparse":
-        # caller asserts a sparse operand (the traced-operand analog of
-        # the reference's population-proportional Convolve); exact for
-        # any population, cost scales with max pop over the batch
+        # caller asserts ``b`` is the RUNTIME-SPARSE operand (the
+        # traced-operand analog of the reference's
+        # population-proportional Convolve); exact for any population,
+        # but cost scales with max pop over the batch — a dense ``b``
+        # (swapped arguments) runs up to ~4096 extraction iterations.
+        # When both operands are concrete, commute to the sparser one.
+        mpa, mpb = _max_pop_concrete(a), _max_pop_concrete(b)
+        if mpa is not None and mpb is not None and mpa < mpb:
+            a, b = b, a  # convolution commutes; peel the sparser side
         return convolve_sparse_device(a, b)
     if method is None and _prefer_ntt():
         if small is None:

@@ -194,6 +194,133 @@ def sharded_beam_complete(bst, mesh, frontier=4, iters=32, minimise=True,
     return run(bst_in)
 
 
+def sharded_portfolio(state, unknown, key, mesh, replicas=256, frontier=4,
+                      iters=192, minimise=True, two_phase=True,
+                      dfs_polish_timeout=None):
+    """Single-hard-instance portfolio search sharded over the WHOLE mesh —
+    the missing SURVEY §2.8 composition for the reference's deep-DFS
+    workload (LifeStable.hpp:1340-1458): ONE stable-completion instance,
+    ``replicas`` orbit-randomized beam replicas (symmetry transform
+    ``r % 16`` + random torus translation each), replicas data-parallel
+    over the mesh with a pmin/psum champion exchange.
+
+    With ``two_phase`` the exchanged champion's population feeds back as
+    a branch-and-bound incumbent (``init_bound``) for a second bounded
+    pass on every device — the collectives prune compute, not just
+    report it.  ``dfs_polish_timeout`` optionally runs the
+    champion-bounded host DFS on the lead process afterwards (the
+    reference's exhaustive-minimality semantics; host rank 0 only —
+    jax.process_index() == 0).
+
+    Per-replica results are bit-exact regardless of the mesh shape (pure
+    data parallelism), and the champion's population is mesh-invariant
+    (its identity may tie-break by device rank); tests/test_portfolio.py
+    pins both on 1/2/8-device CPU meshes.
+
+    ``state``/``unknown``: packed uint32[64, 2].  Returns
+    stable.complete.PortfolioResult (champion back-transformed to the
+    original orientation).
+    """
+    import numpy as np
+
+    from ..core import board as BRD
+    from ..stable import bitplane as BP
+    from ..stable import complete as C
+    from ..symmetry import transforms as TR
+
+    n_dev = mesh.devices.size
+    if replicas % n_dev:
+        raise ValueError(f"replicas={replicas} not divisible by mesh size "
+                         f"{n_dev}")
+    local_R = replicas // n_dev
+
+    kx, ky = jax.random.split(key)
+    dx = jax.random.randint(kx, (replicas,), 0, 64)
+    dy = jax.random.randint(ky, (replicas,), 0, 64)
+    st_r, un_r = jax.jit(C._build_replicas)(state, unknown, dx, dy)
+    bst = BP.make(state=st_r, unknown=un_r)
+
+    both = (SCENARIO_AXIS, CANDIDATE_AXIS)
+    SENTINEL = jnp.int32(5000)  # > max population 4096
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(both),),
+        out_specs=(P(both), P(), P(), P()),
+        check_vma=False,
+    )
+    def run(bst_local):
+        rank = (jax.lax.axis_index(SCENARIO_AXIS)
+                * jax.lax.axis_size(CANDIDATE_AXIS)
+                + jax.lax.axis_index(CANDIDATE_AXIS))
+
+        def exchange(found_x, best_x, pop_x):
+            key_ = jnp.where(found_x, jnp.minimum(pop_x, SENTINEL), SENTINEL)
+            li = jnp.argmin(key_)
+            # device-unique combined key -> unique winner -> the psums
+            # below have exactly one nonzero contributor
+            combined = key_[li] * n_dev + rank
+            gmin = jax.lax.pmin(combined, both)
+            win = combined == gmin
+            champ = jax.lax.psum(
+                jnp.where(win, best_x[li], jnp.zeros_like(best_x[li])), both)
+            gidx = jax.lax.psum(
+                jnp.where(win, rank * local_R + li, 0), both)
+            return champ, gmin // n_dev, gidx
+
+        found, best, pop, _ = C.beam_search_jnp(
+            bst_local, frontier, iters, minimise)
+        champ, champ_pop, champ_idx = exchange(found, best, pop)
+
+        if two_phase and minimise:
+            f2, b2, p2, _ = C.beam_search_jnp(
+                bst_local, frontier, iters, minimise, init_bound=champ_pop)
+            champ2, champ2_pop, champ2_idx = exchange(f2, b2, p2)
+            improved = champ2_pop < champ_pop
+            champ = jnp.where(improved, champ2, champ)
+            champ_idx = jnp.where(improved, champ2_idx, champ_idx)
+            champ_pop = jnp.minimum(champ_pop, champ2_pop)
+
+        return found, champ, champ_pop, champ_idx
+
+    found, champ, champ_pop, champ_idx = run(bst)
+    found_np = np.asarray(found)
+    if int(champ_pop) >= int(SENTINEL):
+        return C.PortfolioResult(False, np.zeros((64, 2), np.uint32), 0, 0.0)
+
+    i = int(champ_idx)
+    t = int(i % 16)
+    back = BRD.move(jnp.asarray(champ), -int(dx[i]), -int(dy[i]))
+    back = TR.transform(back, TR.transform_inverse(t))
+    best_pop = int(champ_pop)
+    champ_np = np.asarray(back)
+
+    if minimise and dfs_polish_timeout and jax.process_index() == 0:
+        # champion-bounded host DFS polish (reference exhaustive
+        # semantics, LifeStable.hpp:1353-1356); lead process only — its
+        # result does not enter any collective, so multi-host processes
+        # stay consistent on the device-side champion
+        import time as _time
+
+        hst = C.HostStable(
+            state=C._np_to_dense(np.asarray(state)),
+            unknown=C._np_to_dense(np.asarray(unknown)),
+        )
+        search = C._Search(_time.monotonic() + float(dfs_polish_timeout),
+                           True, False, np.zeros((64, 64), bool))
+        search.max_pop = best_pop
+        search.step(hst)
+        if search.best is not None and search.best.any():
+            pop_h = int(search.best.sum())
+            if pop_h < best_pop:
+                best_pop = pop_h
+                champ_np = np.asarray(C._np_from_dense(search.best))
+
+    return C.PortfolioResult(
+        True, champ_np, best_pop, float(found_np.mean()))
+
+
 def sharded_rollout(boards, steps, mesh):
     """Bit-exact Life rollout data-parallel over the whole mesh with a
     psum population reduction: boards [B, 64, 2] sharded over both axes,

@@ -169,6 +169,12 @@ def complete_stable(st: HostStable, timeout=1.0, minimise=False, use_seed=False,
         search_area = zoi(search_area)
         copy = st.copy()
         copy.unknown &= search_area
+        # direct mutation of ``unknown`` must invalidate the propagation
+        # cache: a caller may pass an already-propagated HostStable, and
+        # the ring restriction converts unknown->known-off cells OUTSIDE
+        # the window the next (windowed) propagate would compute from the
+        # shrunken bbox (round-4 advisor finding)
+        copy.invalidate()
         result = search.step(copy)
         if (search.best is not None and search.best.any()) or time.monotonic() > deadline:
             break
@@ -187,6 +193,7 @@ def complete_stable(st: HostStable, timeout=1.0, minimise=False, use_seed=False,
         # dilation of the search area, LifeStable.hpp:1451-1456)
         copy = st.copy()
         copy.unknown &= big_zoi(search_area)
+        copy.invalidate()
         search.use_seed = True
         search.seed = st.state | (search.best if search.best is not None else empty)
         search.step(copy)
@@ -542,15 +549,22 @@ def _aux_inputs(B):
     """Cached all-zero seed/bound placeholder arrays: creating them
     eagerly per call costs two device round trips through a tunneled
     backend (round-3 VERDICT weak #1 — part of the 82 ms non-kernel
-    cost per beam call)."""
+    cost per beam call).  Keyed by (backend, B) and bounded: a
+    jax_platforms switch mid-process must not hand stale-device arrays
+    to the jitted beam, and distinct batch sizes must not pin device
+    memory for the process lifetime (round-4 advisor finding)."""
+    import jax
     import jax.numpy as jnp
 
-    if B not in _AUX_CACHE:
-        _AUX_CACHE[B] = (
+    key = (jax.default_backend(), B)
+    if key not in _AUX_CACHE:
+        if len(_AUX_CACHE) >= 8:
+            _AUX_CACHE.pop(next(iter(_AUX_CACHE)))
+        _AUX_CACHE[key] = (
             jnp.zeros((B, 64, 2), jnp.uint32),
             jnp.zeros((B,), jnp.int32),
         )
-    return _AUX_CACHE[B]
+    return _AUX_CACHE[key]
 
 
 def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,

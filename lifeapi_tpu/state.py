@@ -235,7 +235,10 @@ class LifeState:
     def convolve(self, other, method=None):
         """OR-convolution (reference ``Convolve``).  ``method="sparse"``
         selects the traced-operand extraction loop
-        (core.convolve.convolve_sparse_device)."""
+        (core.convolve.convolve_sparse_device); ``other`` must then be
+        the runtime-sparse operand — cost scales with its max
+        population (concrete operands are commuted to the sparser
+        side automatically)."""
         return LifeState(C.convolve(self.packed, other.packed,
                                     method=method))
 

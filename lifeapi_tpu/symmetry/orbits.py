@@ -122,11 +122,11 @@ def fingerprint(board):
     dedup of board batches."""
     global _FP_KEY
     if _FP_KEY is None:
+        # cache the HOST array: a jnp constant created inside a jit
+        # trace is a tracer and must not outlive the trace
         rng = np.random.default_rng(0xF00D)
-        _FP_KEY = jnp.asarray(
-            rng.integers(1, 2**32, size=(64, 2), dtype=np.uint32) | 1
-        )
-    prod = board.astype(jnp.uint32) * _FP_KEY
+        _FP_KEY = rng.integers(1, 2**32, size=(64, 2), dtype=np.uint32) | 1
+    prod = board.astype(jnp.uint32) * jnp.asarray(_FP_KEY)
     a = jnp.sum(prod, axis=(-2, -1), dtype=jnp.uint32)
     b = jnp.sum(prod ^ (prod >> 7), axis=(-2, -1), dtype=jnp.uint32)
     return a, b
