@@ -275,6 +275,30 @@ def _secondary_beam(result, on_accel):
         result[f"beam_solves_per_sec_{tag}"] = B / dt
     result["beam_found_fraction"] = float(np.asarray(res.found).mean())
 
+    # queued multi-batch e2e (round 5, VERDICT directive #5): K chunks of
+    # B problems in ONE dispatch + ONE compact readback — the fixed ~26 ms
+    # tunnel floor amortized across the whole queue.  The per-problem rate
+    # is the DEFAULT path for bulk solver users
+    # (stable.complete.complete_stable_beam_queued).
+    K = 8 if on_accel else 2
+    big = BP.BitStable(
+        jnp.broadcast_to(bst.state[:1], (K * B, 64, 2)),
+        jnp.broadcast_to(bst.unknown[:1], (K * B, 64, 2)),
+        tuple(jnp.broadcast_to(r[:1], (K * B, 64, 2)) for r in bst.ruled),
+    )
+    qres = C.complete_stable_beam_queued(
+        big, chunk=B, frontier=F, iters=iters, interpret=not on_accel)
+    samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        qres = C.complete_stable_beam_queued(
+            big, chunk=B, frontier=F, iters=iters, interpret=not on_accel)
+        samples.append(time.perf_counter() - t0)
+    dt = statistics.median(samples)
+    result["beam_solves_per_sec_e2e_queued"] = K * B / dt
+    result["beam_queued_problems"] = K * B
+    result["beam_queued_found_fraction"] = float(qres.found.mean())
+
 
 def _secondary_propagate(result, on_accel):
     """Fused in-kernel propagate fixpoints/s at the DEFAULT API config

@@ -151,9 +151,18 @@ class _Search:
 
 
 def complete_stable(st: HostStable, timeout=1.0, minimise=False, use_seed=False,
-                    seed=None):
+                    seed=None, strict=False):
     """Reference ``CompleteStable`` (LifeStable.hpp:1414-1458).  Returns
-    (CompletionResult, dense bool[64, 64] best still life)."""
+    (CompletionResult, dense bool[64, 64] best still life).
+
+    ``strict``: the reference's ring-growing loop can break on a spent
+    budget while holding an INCONSISTENT verdict from a ring-RESTRICTED
+    search area — restricting unknowns to the ring forces outside cells
+    OFF, so that verdict does not refute the full instance (the round-4
+    "DFS marks are budget artifacts" measurement).  With ``strict=True``
+    such a verdict degrades to TIMEOUT; INCONSISTENT is then always a
+    sound refutation of the full instance.  Default False = faithful
+    reference semantics."""
     empty = np.zeros((64, 64), bool)
     if not st.state.any():
         return CompletionResult.COMPLETED, empty
@@ -164,6 +173,7 @@ def complete_stable(st: HostStable, timeout=1.0, minimise=False, use_seed=False,
     search = _Search(deadline, minimise, use_seed, seed if seed is not None else empty)
 
     result = CompletionResult.TIMEOUT
+    restricted = False
     search_area = zoi(st.state)
     while (st.unknown & ~search_area).any():
         search_area = zoi(search_area)
@@ -175,12 +185,18 @@ def complete_stable(st: HostStable, timeout=1.0, minimise=False, use_seed=False,
         # the window the next (windowed) propagate would compute from the
         # shrunken bbox (round-4 advisor finding)
         copy.invalidate()
+        restricted = bool((st.unknown & ~search_area).any())
         result = search.step(copy)
         if (search.best is not None and search.best.any()) or time.monotonic() > deadline:
             break
     else:
         copy = st.copy()
+        restricted = False
         result = search.step(copy)
+
+    if (strict and restricted
+            and result == CompletionResult.INCONSISTENT):
+        result = CompletionResult.TIMEOUT
 
     best_empty = search.best is None or not search.best.any()
     if result == CompletionResult.TIMEOUT and best_empty:
@@ -706,6 +722,92 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
         np.asarray(found), np.asarray(best_out), np.asarray(best_pop),
         np.asarray(proved),
     )
+
+
+_QUEUED_BEAM_JIT = None
+
+
+def complete_stable_beam_queued(stable, chunk=8192, frontier=4, iters=24,
+                                minimise=True, interpret=False,
+                                batch_tile=256, simple_phase=False):
+    """Many-batch beam completion in ONE dispatch — the fixed
+    dispatch+readback floor (~26 ms through a tunneled backend,
+    benches/attrib_r4.py) amortized over the whole queued problem set
+    instead of paid per ``chunk``-sized call (VERDICT r04 directive #5).
+
+    ``stable``: packed BitStable with a [B_total] problem axis.  The set
+    is split into ceil(B_total / chunk) chunks; a ``lax.scan`` over the
+    chunk axis runs the full fused beam pipeline per chunk inside one
+    jitted computation, stacking the compact per-problem outputs
+    (found/pop/proved, 12 B each) for a single readback.  Semantics are
+    identical to per-chunk ``complete_stable_beam(return_boards=False)``
+    calls (tests/test_stable_pallas.py); the VMEM working set stays one
+    chunk wide, so the chunk size that suits the kernel keeps suiting it
+    while e2e throughput approaches kernel-marginal.  B_total is padded
+    to a chunk multiple with trivial empty problems."""
+    import jax
+    import jax.numpy as jnp
+
+    from . import bitplane as BP
+
+    needs_pack = not (
+        hasattr(stable, "ruled") and isinstance(stable.ruled, tuple)
+    )
+    bst = BP.from_dense_stable(stable) if needs_pack else stable
+    B_total = bst.state.shape[0]
+    chunk = min(chunk, B_total)
+
+    F = frontier
+    flat = chunk * F
+    if flat >= batch_tile:
+        step = batch_tile // F
+        b_pad = -(-chunk // step) * step
+        lane_tile = batch_tile
+    else:
+        b_pad, lane_tile = chunk, flat
+
+    pad = -B_total % chunk
+    planes = (bst.state, bst.unknown) + tuple(bst.ruled)
+    if pad:
+        planes = tuple(
+            jnp.concatenate([p, jnp.zeros((pad, 64, 2), jnp.uint32)])
+            for p in planes)
+    K = (B_total + pad) // chunk
+
+    global _QUEUED_BEAM_JIT
+    if _QUEUED_BEAM_JIT is None:
+        def _queued_run(planes, *, chunk, F, iters, minimise, b_pad,
+                        lane_tile, interpret, simple_phase):
+            zero_seed = jnp.zeros((chunk, 64, 2), jnp.uint32)
+            zero_bound = jnp.zeros((chunk,), jnp.int32)
+
+            def body(_, xs):
+                st, un = xs[0], xs[1]
+                bst_c = BP.BitStable(st, un, tuple(xs[2:]))
+                buf = _fused_beam_run(
+                    bst_c, zero_seed, zero_bound, F=F, iters=iters,
+                    minimise=minimise, b_pad=b_pad, lane_tile=lane_tile,
+                    interpret=interpret, use_seed=False, needs_pack=False,
+                    simple_phase=simple_phase, use_bound=False,
+                    compact=True)
+                return 0, buf
+
+            _, bufs = jax.lax.scan(
+                body, 0,
+                tuple(p.reshape(-1, chunk, 64, 2) for p in planes))
+            return bufs  # [K, chunk, 3]
+
+        _QUEUED_BEAM_JIT = jax.jit(
+            _queued_run,
+            static_argnames=("chunk", "F", "iters", "minimise", "b_pad",
+                             "lane_tile", "interpret", "simple_phase"))
+
+    buf = np.asarray(_QUEUED_BEAM_JIT(
+        planes, chunk=chunk, F=F, iters=iters, minimise=minimise,
+        b_pad=b_pad, lane_tile=lane_tile, interpret=interpret,
+        simple_phase=simple_phase)).reshape(-1, 3)[:B_total]
+    return BeamResult(buf[:, 0] != 0, None, buf[:, 1].astype(np.int32),
+                      buf[:, 2] != 0)
 
 
 # ---------------------------------------------------------------------------

@@ -260,7 +260,9 @@ def unweldable_mask(a: LifeWeld, b: LifeWeld, starting_good=None,
                     starting_bad=None, solve_timeout=0.05, engine="host",
                     batch_size=256, beam_frontier=4, beam_iters=48,
                     escalate=True, escalate_frontier=8,
-                    escalate_dfs_timeout=None):
+                    escalate_dfs_timeout=None,
+                    escalate_dfs_wall_budget=None,
+                    return_stats=False):
     """For every untested relative placement, weld the two patterns and try
     to complete a stable background; INCONSISTENT placements are bad — an
     expensive compatibility prefilter (reference ``UnweldableMask``,
@@ -280,10 +282,20 @@ def unweldable_mask(a: LifeWeld, b: LifeWeld, starting_good=None,
     are re-run with a DEEP ``escalate_frontier``-wide beam,
     and any remaining residue falls back to the host DFS with the same
     per-instance budget as ``engine="host"`` (``escalate_dfs_timeout``
-    defaults to ``solve_timeout``).  The residue is tiny in practice —
-    3 of 1919 placements on the eater x eater workload (BENCH_NOTES) —
-    so the escalation recovers full DFS coverage for sub-second cost,
-    and every mark from every tier remains a sound proof."""
+    defaults to ``solve_timeout``).  Every mark from every tier remains
+    a sound proof.
+
+    The tier-3 DFS is STAGED (round 5, VERDICT r04 weak #2): a cheap
+    pass at 10% of the budget first — measured on both reference
+    workloads, DFS determinations are near-instant contradiction
+    propagations, while instances that time the short stage out
+    overwhelmingly time the full budget out too (catxeater round-4:
+    0 of 1790 residue instances determined at the FULL 0.05 s budget).
+    Stage-A timeouts then get the full per-instance budget, bounded by
+    ``escalate_dfs_wall_budget`` seconds total (None = unlimited, the
+    strict engine="host" parity mode).  Instances the wall budget skips
+    are counted in ``stats['tier3_wall_budget_skipped']`` — never a
+    silent cap; ``return_stats=True`` returns ``(mask, stats)``."""
     import numpy as np
 
     from .stable import complete as C
@@ -311,6 +323,14 @@ def unweldable_mask(a: LifeWeld, b: LifeWeld, starting_good=None,
         return _build_placements(a, b, xy)
 
     if engine == "beam":
+        import time as _time
+
+        stats = {
+            "placements": len(offsets),
+            "tier2_proved": 0, "tier2_completed": 0,
+            "tier3_instances": 0, "tier3_stage_a_determined": 0,
+            "tier3_full_determined": 0, "tier3_wall_budget_skipped": 0,
+        }
         undetermined = []
         for lo in range(0, len(offsets), batch_size):
             chunk = offsets[lo:lo + batch_size]
@@ -327,9 +347,10 @@ def unweldable_mask(a: LifeWeld, b: LifeWeld, starting_good=None,
                     bad_dense[x, y] = True
                 elif escalate and not found[i]:
                     undetermined.append((x, y))
+        stats["tier1_residue"] = len(undetermined)
 
         if undetermined:
-            # tier 2: wider frontier, double depth, just on the residue
+            # tier 2: wider frontier, deeper, just on the residue
             # (lane budget held at batch_size * beam_frontier)
             cap = max(1, (batch_size * beam_frontier) // escalate_frontier)
             # deep second tier: completions matter as much as proofs here
@@ -358,13 +379,19 @@ def unweldable_mask(a: LifeWeld, b: LifeWeld, starting_good=None,
                 for i, (x, y) in enumerate(chunk):
                     if proved[i]:
                         bad_dense[x, y] = True
-                    elif not found[i]:
+                        stats["tier2_proved"] += 1
+                    elif found[i]:
+                        stats["tier2_completed"] += 1
+                    else:
                         residue.append((x, y))
 
-            # tier 3: host DFS on whatever two beam tiers left open —
-            # same per-instance budget as the reference loop, so the
-            # escalated pipeline refutes everything engine="host" can
+            # tier 3: staged host DFS on whatever the beam tiers left
+            # open.  Stage A runs every instance at 10% of the budget
+            # (refutations are near-instant propagations); stage B gives
+            # stage-A timeouts the full reference budget, bounded by the
+            # optional wall budget (skips counted, never silent).
             if residue:
+                stats["tier3_instances"] = len(residue)
                 budget = (solve_timeout if escalate_dfs_timeout is None
                           else escalate_dfs_timeout)
                 # pad to a fixed-shape multiple so the jitted builder's
@@ -376,17 +403,45 @@ def unweldable_mask(a: LifeWeld, b: LifeWeld, starting_good=None,
                 states = np.asarray(sts.state)
                 unknowns = np.asarray(sts.unknown)
                 ruleds = np.asarray(sts.ruled)
-                for i, (x, y) in enumerate(residue):
+
+                def _dfs(i, timeout):
                     host_st = HO.HostStable(
                         states[i].copy(), unknowns[i].copy(),
                         ruleds[i].copy()
                     )
-                    result, _ = C.complete_stable(
-                        host_st, timeout=budget, minimise=False
-                    )
+                    # strict: a ring-restricted INCONSISTENT degrades to
+                    # TIMEOUT, so every tier-3 mark is a sound refutation
+                    # of the FULL instance — unlike the reference loop's
+                    # budget-artifact class (BENCH_NOTES round 4)
+                    return C.complete_stable(
+                        host_st, timeout=timeout, minimise=False,
+                        strict=True)[0]
+
+                stage_b = []
+                for i, (x, y) in enumerate(residue):
+                    result = _dfs(i, budget * 0.1)
                     if result == C.CompletionResult.INCONSISTENT:
                         bad_dense[x, y] = True
-        return B.from_dense(jnp.asarray(bad_dense))
+                    if result == C.CompletionResult.TIMEOUT:
+                        stage_b.append((i, x, y))
+                    else:
+                        stats["tier3_stage_a_determined"] += 1
+
+                t_wall = _time.monotonic()
+                for n, (i, x, y) in enumerate(stage_b):
+                    if (escalate_dfs_wall_budget is not None
+                            and _time.monotonic() - t_wall
+                            > escalate_dfs_wall_budget):
+                        stats["tier3_wall_budget_skipped"] = (
+                            len(stage_b) - n)
+                        break
+                    result = _dfs(i, budget)
+                    if result == C.CompletionResult.INCONSISTENT:
+                        bad_dense[x, y] = True
+                    if result != C.CompletionResult.TIMEOUT:
+                        stats["tier3_full_determined"] += 1
+        mask = B.from_dense(jnp.asarray(bad_dense))
+        return (mask, stats) if return_stats else mask
 
     # host engine (reference-faithful loop, LifeWeld.hpp:256-274): build
     # problems in device batches, read back once, DFS purely on numpy

@@ -321,3 +321,35 @@ def test_convolve_sparse_device_matches_fft(rng):
     assert (got_jit == ref).all()
     # auto-dispatch: concrete batched sparse operand takes this path
     assert (np.asarray(convolve.convolve(a, b)) == ref).all()
+
+
+def test_convolve_sparse_fused_kernel(rng):
+    """The fused Pallas peel kernel (ops/conv_sparse_pallas, interpret
+    mode) must be bit-identical to the XLA extraction loop for random
+    per-board sparse operands, empty operands, a dense lane, and
+    unbatched broadcast shapes."""
+    from lifeapi_tpu.ops import conv_sparse_pallas as CSP
+
+    B = 12
+    da = rng.random((B, 64, 64)) < 0.1
+    db = np.zeros((B, 64, 64), bool)
+    for i in range(B):
+        k = int(rng.integers(0, 11))
+        if k:
+            db[i, rng.integers(0, 64, k), rng.integers(0, 64, k)] = True
+    db[3][:] = True  # one dense lane: loop must still terminate exactly
+    a = board.from_dense(jnp.asarray(da))
+    b = board.from_dense(jnp.asarray(db))
+    ref = np.asarray(convolve.convolve_sparse_device(a, b))
+    got = np.asarray(CSP.convolve_sparse_fused(a, b, interpret=True))
+    assert (got == ref).all()
+
+    empty = jnp.zeros((B, 64, 2), jnp.uint32)
+    assert (np.asarray(
+        CSP.convolve_sparse_fused(a, empty, interpret=True)) == 0).all()
+
+    a1 = board.from_dense(jnp.asarray(rng.random((64, 64)) < 0.1))
+    b1 = board.from_cells([(3, 5), (60, 62), (0, 0), (63, 31), (31, 63)])
+    r1 = np.asarray(convolve.convolve_sparse_device(a1, b1))
+    o1 = np.asarray(CSP.convolve_sparse_fused(a1, b1, interpret=True))
+    assert (o1 == r1).all()
