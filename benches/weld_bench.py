@@ -75,12 +75,15 @@ def run_pair(name, a, b, window, beam_iters_list=(24, 96),
     for iters in beam_iters_list:
         for escalate in (False, True):
             # warm (compile) then measure: each engine is called twice
+            stats = None
             for rep in range(2):
                 t0 = time.perf_counter()
-                beam_bad = np.asarray(board.to_dense(W.unweldable_mask(
+                out = W.unweldable_mask(
                     a, b, starting_good=good0, engine="beam",
                     batch_size=batch_size, beam_iters=iters,
-                    escalate=escalate)))
+                    escalate=escalate, return_stats=True)
+                beam_mask, stats = out
+                beam_bad = np.asarray(board.to_dense(beam_mask))
                 beam_s = time.perf_counter() - t0
             beam_marked = beam_bad & window & ~inter
             n_beam = int(beam_marked.sum())
@@ -106,6 +109,7 @@ def run_pair(name, a, b, window, beam_iters_list=(24, 96),
                 "coverage": round(n_both / n_host, 4) if n_host else None,
                 "beam_marked_not_in_dfs": unsound,
                 "missed_dfs_marks_classified": cls,
+                "tier_stats": stats,
                 "note": "coverage = |beam-proved AND DFS-marked| / "
                         "DFS-marked; beam marks are sound proofs (never "
                         "wrong), DFS marks are 0.05s-budget refutations; "

@@ -261,7 +261,7 @@ def unweldable_mask(a: LifeWeld, b: LifeWeld, starting_good=None,
                     batch_size=256, beam_frontier=4, beam_iters=48,
                     escalate=True, escalate_frontier=8,
                     escalate_dfs_timeout=None,
-                    escalate_dfs_wall_budget=None,
+                    escalate_dfs_wall_budget=4.0,
                     return_stats=False):
     """For every untested relative placement, weld the two patterns and try
     to complete a stable background; INCONSISTENT placements are bad — an
@@ -285,17 +285,19 @@ def unweldable_mask(a: LifeWeld, b: LifeWeld, starting_good=None,
     defaults to ``solve_timeout``).  Every mark from every tier remains
     a sound proof.
 
-    The tier-3 DFS is STAGED (round 5, VERDICT r04 weak #2): a cheap
-    pass at 10% of the budget first — measured on both reference
-    workloads, DFS determinations are near-instant contradiction
-    propagations, while instances that time the short stage out
-    overwhelmingly time the full budget out too (catxeater round-4:
-    0 of 1790 residue instances determined at the FULL 0.05 s budget).
-    Stage-A timeouts then get the full per-instance budget, bounded by
-    ``escalate_dfs_wall_budget`` seconds total (None = unlimited, the
-    strict engine="host" parity mode).  Instances the wall budget skips
-    are counted in ``stats['tier3_wall_budget_skipped']`` — never a
-    silent cap; ``return_stats=True`` returns ``(mask, stats)``."""
+    The tier-3 DFS is SOUND and STAGED (round 5, VERDICT r04 weak #2).
+    Sound: it runs ``complete_stable(strict=True)``, so a ring-restricted
+    INCONSISTENT (the reference loop's budget-artifact class — measured
+    directly: 20/20 such marks at a 5 ms budget evaporate at 50 ms,
+    benches/weld_probe_r5.py) degrades to TIMEOUT and every mark refutes
+    the full instance.  Staged: every residue instance first gets 5% of
+    the budget (sound refutations are near-instant propagations; full-
+    budget determinations beyond that measured 0-3 per workload), then
+    stage-A timeouts get the full per-instance budget.  Both stages
+    share ``escalate_dfs_wall_budget`` seconds of wall clock (default
+    4.0; None = unlimited, the full-parity mode) — instances skipped at
+    the wall are counted in ``stats['tier3_wall_budget_skipped']``,
+    never silently; ``return_stats=True`` returns ``(mask, stats)``."""
     import numpy as np
 
     from .stable import complete as C
@@ -411,15 +413,36 @@ def unweldable_mask(a: LifeWeld, b: LifeWeld, starting_good=None,
                     )
                     # strict: a ring-restricted INCONSISTENT degrades to
                     # TIMEOUT, so every tier-3 mark is a sound refutation
-                    # of the FULL instance — unlike the reference loop's
-                    # budget-artifact class (BENCH_NOTES round 4)
+                    # of the FULL instance — the round-5 probe measured
+                    # the artifact class directly (20 of 20 "marks" at a
+                    # 5 ms budget evaporate at 50 ms: the bigger budget
+                    # grows the ring past the restriction that caused
+                    # them, benches/weld_probe_r5.py)
                     return C.complete_stable(
                         host_st, timeout=timeout, minimise=False,
                         strict=True)[0]
 
+                t_wall = _time.monotonic()
+
+                def _wall_left():
+                    if escalate_dfs_wall_budget is None:
+                        return float("inf")
+                    return (escalate_dfs_wall_budget
+                            - (_time.monotonic() - t_wall))
+
+                # stage A: every instance at 5% of the budget (sound
+                # refutations are near-instant propagations); stage B:
+                # the full per-instance budget for stage-A timeouts.
+                # Both stages share one explicit wall budget; skips are
+                # counted, never silent.
                 stage_b = []
                 for i, (x, y) in enumerate(residue):
-                    result = _dfs(i, budget * 0.1)
+                    if _wall_left() <= 0:
+                        stats["tier3_wall_budget_skipped"] += (
+                            len(residue) - i + len(stage_b))
+                        stage_b = []
+                        break
+                    result = _dfs(i, budget * 0.05)
                     if result == C.CompletionResult.INCONSISTENT:
                         bad_dense[x, y] = True
                     if result == C.CompletionResult.TIMEOUT:
@@ -427,12 +450,9 @@ def unweldable_mask(a: LifeWeld, b: LifeWeld, starting_good=None,
                     else:
                         stats["tier3_stage_a_determined"] += 1
 
-                t_wall = _time.monotonic()
                 for n, (i, x, y) in enumerate(stage_b):
-                    if (escalate_dfs_wall_budget is not None
-                            and _time.monotonic() - t_wall
-                            > escalate_dfs_wall_budget):
-                        stats["tier3_wall_budget_skipped"] = (
+                    if _wall_left() <= 0:
+                        stats["tier3_wall_budget_skipped"] += (
                             len(stage_b) - n)
                         break
                     result = _dfs(i, budget)

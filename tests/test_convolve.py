@@ -353,3 +353,30 @@ def test_convolve_sparse_fused_kernel(rng):
     r1 = np.asarray(convolve.convolve_sparse_device(a1, b1))
     o1 = np.asarray(CSP.convolve_sparse_fused(a1, b1, interpret=True))
     assert (o1 == r1).all()
+
+
+def test_convolve_counts_sparse_device(rng):
+    """Bit-sliced peel counts (round 5): exact vs the FFT counts for
+    random sparse operands, via explicit method, auto-dispatch, and jit;
+    empty operands give all-zero counts."""
+    import jax
+
+    B = 6
+    da = rng.random((B, 64, 64)) < 0.15
+    db = np.zeros((B, 64, 64), bool)
+    for i in range(B):
+        k = int(rng.integers(0, 12))
+        if k:
+            db[i, rng.integers(0, 64, k), rng.integers(0, 64, k)] = True
+    a = board.from_dense(jnp.asarray(da))
+    b = board.from_dense(jnp.asarray(db))
+    ref = np.asarray(convolve.convolve_counts(a, b, method="fft"))
+    assert (np.asarray(
+        convolve.convolve_counts(a, b, method="sparse")) == ref).all()
+    assert (np.asarray(convolve.convolve_counts(a, b)) == ref).all()
+    got_j = np.asarray(jax.jit(
+        lambda a, b: convolve.convolve_counts(a, b, method="sparse"))(a, b))
+    assert (got_j == ref).all()
+    empty = jnp.zeros((B, 64, 2), jnp.uint32)
+    assert (np.asarray(
+        convolve.convolve_counts(a, empty, method="sparse")) == 0).all()
