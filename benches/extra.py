@@ -761,7 +761,7 @@ def bench_receding(steps=16, apply_horizon=2, n_candidates=16,
     }), flush=True)
 
 
-def bench_interaction_offsets(B=512, M=64):
+def bench_interaction_offsets(B=1024, M=1024):
     """interaction_offsets end-to-end on the predict-then-simulate
     workload (reference InteractionOffsets, LifeAPI.hpp:1066-1095 — 7
     convolutions per call, implied ~1.4e6 offsets-queries/s at the

@@ -380,3 +380,39 @@ def test_convolve_counts_sparse_device(rng):
     empty = jnp.zeros((B, 64, 2), jnp.uint32)
     assert (np.asarray(
         convolve.convolve_counts(a, empty, method="sparse")) == 0).all()
+
+
+def test_interaction_offsets_routes_agree(rng):
+    """Round 5: the dense (stacked NTT/FFT), concrete-sparse (shift-OR)
+    and traced-sparse (stacked peel with min-side swap) routes of
+    interaction_offsets must be bit-identical, batched and unbatched."""
+    import jax
+
+    from lifeapi_tpu.core import rle
+    from lifeapi_tpu.symmetry import transforms as tr
+    from lifeapi_tpu.symmetry.transforms import SymmetryTransform as T
+
+    glider = board.move(rle.parse("bob$2bo$3o!"), 8, 8)
+    eater = board.move(
+        tr.transform(rle.parse("2b2o$bobo$bo$2o!"), T.Rotate270), 24, 24)
+
+    dense = np.asarray(jax.jit(
+        lambda a, b: convolve.interaction_offsets(a, b))(glider, eater))
+    auto = np.asarray(convolve.interaction_offsets(glider, eater))
+    sp = np.asarray(jax.jit(
+        lambda a, b: convolve.interaction_offsets(a, b, method="sparse"))(
+            glider, eater))
+    assert (dense == auto).all()
+    assert (dense == sp).all()
+
+    d = np.zeros((4, 64, 64), bool)
+    for i in range(4):
+        d[i, rng.integers(10, 50, 6), rng.integers(10, 50, 6)] = True
+    bb = board.from_dense(jnp.asarray(d))
+    aa = jnp.broadcast_to(glider, (4, 64, 2))
+    dense_b = np.asarray(jax.jit(
+        lambda a, b: convolve.interaction_offsets(a, b))(aa, bb))
+    sp_b = np.asarray(jax.jit(
+        lambda a, b: convolve.interaction_offsets(a, b, method="sparse"))(
+            aa, bb))
+    assert (dense_b == sp_b).all()
