@@ -280,7 +280,7 @@ def _secondary_beam(result, on_accel):
     # tunnel floor amortized across the whole queue.  The per-problem rate
     # is the DEFAULT path for bulk solver users
     # (stable.complete.complete_stable_beam_queued).
-    K = 8 if on_accel else 2
+    K = 16 if on_accel else 2
     big = BP.BitStable(
         jnp.broadcast_to(bst.state[:1], (K * B, 64, 2)),
         jnp.broadcast_to(bst.unknown[:1], (K * B, 64, 2)),
@@ -417,7 +417,10 @@ def _secondary_convolve_traced(result, on_accel):
     from lifeapi_tpu.core import convolve as CV
 
     B = 4096 if on_accel else 64
-    m_lo, m_hi = (1, 257) if on_accel else (1, 3)
+    # the fused peel kernel runs ~51 us/call at B=4096 (8e7 conv/s):
+    # m_hi=8193 puts ~0.4 s in the differential, above burst jitter
+    # (m_hi=257 under-measured it at 2.9e7 — round 5)
+    m_lo, m_hi = (1, 8193) if on_accel else (1, 3)
 
     rng = np.random.default_rng(0)
 

@@ -205,7 +205,7 @@ def bench_convolve(B=4096, M=8):
     }), flush=True)
 
 
-def bench_convolve_traced(B=4096, M=256, cells=7):
+def bench_convolve_traced(B=4096, M=8192, cells=7):
     """Library entry with TRACED per-board sparse operands — the honest
     apples-to-apples against the reference's ~1e7 conv/s best case
     (LifeAPI.hpp:1284-1370): like the reference's run decomposition, the
