@@ -364,7 +364,16 @@ def unweldable_mask(a: LifeWeld, b: LifeWeld, starting_good=None,
             residue = []
             for lo in range(0, len(undetermined), cap):
                 chunk = undetermined[lo:lo + cap]
-                padded = chunk + [chunk[0]] * (cap - len(chunk))
+                # bucket the pad target to the next power of two (>=128
+                # problems): a small residue must not pay the full
+                # cap-wide kernel (round 5: a 202-instance residue padded
+                # to 2048 spent ~10x its share of the deep tier), while
+                # bucketing keeps the compiled-shape count logarithmic
+                cap_c = 128
+                while cap_c < len(chunk):
+                    cap_c *= 2
+                cap_c = min(cap_c, cap)
+                padded = chunk + [chunk[0]] * (cap_c - len(chunk))
                 sts = build(jnp.asarray(padded, jnp.int32))
                 res = C.complete_stable_beam(
                     sts, frontier=escalate_frontier, iters=deep_iters,
