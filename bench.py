@@ -220,8 +220,11 @@ def _secondary_beam(result, on_accel):
     )
     seed0 = jnp.zeros((B, 64, 2), jnp.uint32)
     bound0 = jnp.zeros((B,), jnp.int32)
+    # lane_tile 128: round-5 A/B (benches/beam_tile_r5.py) measured
+    # 670k vs 610k solves/s at tiles 128 vs 256 — consistent with the
+    # calibration kernel's tile-dependent issue ceiling
     kw = dict(F=F, iters=iters, minimise=True, b_pad=B,
-              lane_tile=256 if on_accel else F * B, interpret=not on_accel,
+              lane_tile=128 if on_accel else F * B, interpret=not on_accel,
               use_seed=False, needs_pack=False, simple_phase=False,
               use_bound=False)
 

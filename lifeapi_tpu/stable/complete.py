@@ -585,7 +585,7 @@ def _aux_inputs(B):
 
 def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
                          fused=None, interpret=False, dense=True,
-                         seed=None, batch_tile=256, simple_phase=False,
+                         seed=None, batch_tile=128, simple_phase=False,
                          init_bound=None, return_boards=True):
     """Batched frontier search over ``[B]`` independent problems.
 
@@ -729,7 +729,7 @@ _QUEUED_BEAM_JIT = None
 
 def complete_stable_beam_queued(stable, chunk=8192, frontier=4, iters=24,
                                 minimise=True, interpret=False,
-                                batch_tile=256, simple_phase=False):
+                                batch_tile=128, simple_phase=False):
     """Many-batch beam completion in ONE dispatch — the fixed
     dispatch+readback floor (~26 ms through a tunneled backend,
     benches/attrib_r4.py) amortized over the whole queued problem set
