@@ -9,7 +9,6 @@ Run: PYTHONPATH=/root/.axon_site:/root/repo python benches/beam_tile_r5.py [tile
 
 import functools
 import json
-import statistics
 import sys
 import time
 
@@ -30,22 +29,7 @@ from lifeapi_tpu.stable import bitplane as BP
 from lifeapi_tpu.stable import complete as C
 
 
-def _median_slope(timed, m_lo, m_hi, reps=5, rounds=3, spread_limit=1.5):
-    timed(m_lo)
-    timed(m_hi)
-    for _ in range(rounds):
-        slopes = []
-        for _ in range(reps):
-            t_lo = timed(m_lo)
-            t_hi = timed(m_hi)
-            slopes.append((t_hi - t_lo) / (m_hi - m_lo))
-        med = statistics.median(slopes)
-        inner = sorted(slopes)[1:-1]
-        if med > 0 and inner and min(inner) > 0:
-            spr = max(inner) / min(inner)
-            if spr <= spread_limit:
-                return med, spr
-    return None, None
+from _bench_util import median_slope as _median_slope  # noqa: E402
 
 
 def main():

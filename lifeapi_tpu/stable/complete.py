@@ -654,11 +654,15 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
             )
         flat = B * F
         if flat >= batch_tile:
-            step = batch_tile // F  # F is a power of two, F | batch_tile
-            b_pad = -(-B // step) * step
             lane_tile = batch_tile
+        elif interpret:
+            lane_tile = flat
         else:
-            b_pad, lane_tile = B, flat
+            lane_tile = 128  # Pallas TPU lane-tile minimum (round-5
+            # review: small problem sets used to hand Mosaic an
+            # under-sized tile)
+        step = max(1, lane_tile // F)  # F is a power of two
+        b_pad = -(-B // step) * step
         use_seed = seed is not None
         use_bound = init_bound is not None
         zero_seed, zero_bound = _aux_inputs(B)
@@ -757,14 +761,21 @@ def complete_stable_beam_queued(stable, chunk=8192, frontier=4, iters=24,
     B_total = bst.state.shape[0]
     chunk = min(chunk, B_total)
 
+    if not interpret and jax.default_backend() != "tpu":
+        # no TPU: run the same kernel in interpreter mode so the queued
+        # API keeps its per-chunk-identical contract everywhere
+        interpret = True
+
     F = frontier
     flat = chunk * F
     if flat >= batch_tile:
-        step = batch_tile // F
-        b_pad = -(-chunk // step) * step
         lane_tile = batch_tile
+    elif interpret:
+        lane_tile = flat
     else:
-        b_pad, lane_tile = chunk, flat
+        lane_tile = 128  # Pallas TPU lane-tile minimum
+    step = max(1, lane_tile // F)
+    b_pad = -(-chunk // step) * step
 
     pad = -B_total % chunk
     planes = (bst.state, bst.unknown) + tuple(bst.ruled)

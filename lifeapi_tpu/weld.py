@@ -397,10 +397,10 @@ def unweldable_mask(a: LifeWeld, b: LifeWeld, starting_good=None,
                         residue.append((x, y))
 
             # tier 3: staged host DFS on whatever the beam tiers left
-            # open.  Stage A runs every instance at 10% of the budget
+            # open.  Stage A runs every instance at 5% of the budget
             # (refutations are near-instant propagations); stage B gives
             # stage-A timeouts the full reference budget, bounded by the
-            # optional wall budget (skips counted, never silent).
+            # wall budget (skips counted + warned, never silent).
             if residue:
                 stats["tier3_instances"] = len(residue)
                 budget = (solve_timeout if escalate_dfs_timeout is None
@@ -469,11 +469,24 @@ def unweldable_mask(a: LifeWeld, b: LifeWeld, starting_good=None,
                         bad_dense[x, y] = True
                     if result != C.CompletionResult.TIMEOUT:
                         stats["tier3_full_determined"] += 1
+        if (stats["tier3_wall_budget_skipped"] and not return_stats):
+            import warnings
+
+            warnings.warn(
+                f"unweldable_mask: {stats['tier3_wall_budget_skipped']} "
+                f"tier-3 DFS instances skipped at the "
+                f"{escalate_dfs_wall_budget} s wall budget (the measured "
+                f"zero-yield timeout class, BENCH_NOTES round 5); pass "
+                f"escalate_dfs_wall_budget=None for full per-instance "
+                f"parity or return_stats=True for details",
+                stacklevel=2)
         mask = B.from_dense(jnp.asarray(bad_dense))
         return (mask, stats) if return_stats else mask
 
     # host engine (reference-faithful loop, LifeWeld.hpp:256-274): build
     # problems in device batches, read back once, DFS purely on numpy
+    host_stats = {"placements": len(offsets), "host_determined": 0,
+                  "host_marked_bad": 0}
     for lo in range(0, len(offsets), batch_size):
         chunk = offsets[lo:lo + batch_size]
         padded = chunk + [chunk[0]] * (batch_size - len(chunk))
@@ -488,9 +501,13 @@ def unweldable_mask(a: LifeWeld, b: LifeWeld, starting_good=None,
             result, _ = C.complete_stable(
                 host_st, timeout=solve_timeout, minimise=False
             )
+            if result != C.CompletionResult.TIMEOUT:
+                host_stats["host_determined"] += 1
             if result == C.CompletionResult.INCONSISTENT:
                 bad_dense[x, y] = True
-    return B.from_dense(jnp.asarray(bad_dense))
+                host_stats["host_marked_bad"] += 1
+    mask = B.from_dense(jnp.asarray(bad_dense))
+    return (mask, host_stats) if return_stats else mask
 
 
 def to_bellman_rle(weld: LifeWeld, active=None):

@@ -382,3 +382,31 @@ def test_beam_init_bound():
         )
         assert r_loose.found.all(), fused
         assert (np.asarray(r_loose.best_pop) == 7).all(), fused
+
+
+def test_complete_stable_beam_queued_matches_per_chunk():
+    """Round 5: the queued multi-batch API must equal per-chunk fused
+    beam calls exactly, including the non-multiple padding path and a
+    chunk too small for the lane-tile knee."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lifeapi_tpu.core import board, rle
+    from lifeapi_tpu.stable import bitplane as BP
+    from lifeapi_tpu.stable import complete as C
+
+    eater = board.move(rle.parse("2b2o$bobo$bo$2o!"), 20, 20)
+    hide = board.from_cells([(20, 20), (21, 20)])
+    unknown = (board.zoi(eater) & ~eater) | hide
+    B = 21  # deliberately not a chunk multiple
+    sts = jnp.stack([jnp.roll(eater & ~hide, i, axis=-2) for i in range(B)])
+    uns = jnp.stack([jnp.roll(unknown, i, axis=-2) for i in range(B)])
+    bst = BP.make(state=sts, unknown=uns)
+
+    ref = C.complete_stable_beam(bst, frontier=4, iters=16, fused=True,
+                                 interpret=True, return_boards=False)
+    got = C.complete_stable_beam_queued(bst, chunk=8, frontier=4, iters=16,
+                                        interpret=True)
+    assert (ref.found == got.found).all()
+    assert (ref.best_pop == got.best_pop).all()
+    assert (ref.proved_inconsistent == got.proved_inconsistent).all()

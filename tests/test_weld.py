@@ -151,3 +151,17 @@ def test_unweldable_mask_beam_subset_of_host():
     hw = host_bad & window & ~inter
     bw = beam_bad & window & ~inter
     assert (bw <= hw).all()
+
+
+def test_unweldable_mask_host_return_stats():
+    """Round-5 review: return_stats must be honored by BOTH engines."""
+    a = W.LifeWeld.from_state(_parse_centered("2o$2o!"))
+    b = W.LifeWeld.from_state(_parse_centered("2o$2o!"))
+    window = np.zeros((64, 64), bool)
+    window[3:5, 3:5] = True
+    good0 = board.from_dense(jnp.asarray(~window))
+    mask, stats = W.unweldable_mask(
+        a, b, starting_good=good0, engine="host", solve_timeout=0.02,
+        return_stats=True)
+    assert mask.shape == (64, 2)
+    assert stats["placements"] >= 0 and "host_determined" in stats
