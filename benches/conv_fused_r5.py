@@ -82,7 +82,7 @@ def main():
             np.asarray(out)
             return time.perf_counter() - t0
 
-        med, spr = _median_slope(timed, 1, 257)
+        med, spr = _median_slope(timed, 1, 4097)
         if med is None:
             print(json.dumps({"metric": f"conv_fused_tile{tile}_u{unroll}",
                               "error": "unstable"}), flush=True)
@@ -110,7 +110,7 @@ def main():
         np.asarray(out)
         return time.perf_counter() - t0
 
-    med, spr = _median_slope(timed_xla, 1, 257)
+    med, spr = _median_slope(timed_xla, 1, 1025)
     if med is not None:
         rate = B / med
         print(json.dumps({

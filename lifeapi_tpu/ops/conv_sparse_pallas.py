@@ -33,8 +33,10 @@ from jax.experimental.pallas import tpu as pltpu
 U32 = jnp.uint32
 
 # measured on v5e (benches/conv_fused_r5.py, round 5, 7-cell operands):
-# 4.5e7 / 6.8e7 / 8.0e7 conv/s at tiles 128 / 256 / 512 (unroll 1); at
-# tile 512, unroll 2/4 lose 16/18% (wasted peels) and tile 1024 loses 31%
+# 4.5e7 / 6.8e7 conv/s at tiles 128 / 256 (shallow-M) and 6.75e7 at
+# tile 512 under deep-M differencing (spread 1.015) = 81% of the
+# calibrated tile-512 ceiling; unroll > 1 loses 16-18% (wasted peels),
+# tile 1024 loses ~30%
 DEFAULT_BATCH_TILE = 512
 
 
