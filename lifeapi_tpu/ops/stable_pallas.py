@@ -260,13 +260,14 @@ def _simple_quiescence(planes, alive, max_iters):
         abort_l = lane_any(ab)
         changed_l = lane_any(ch)
         apply = s_alive & ~abort_l
-        sl = (new_s[0] & apply) | (sl & ~apply)
-        sh = (new_s[1] & apply) | (sh & ~apply)
-        ul = (new_u[0] & apply) | (ul & ~apply)
-        uh = (new_u[1] & apply) | (uh & ~apply)
+        apply_b = apply[0:1, :] != 0  # lane-uniform: 1-op vector select
+        sl = jnp.where(apply_b, new_s[0], sl)
+        sh = jnp.where(apply_b, new_s[1], sh)
+        ul = jnp.where(apply_b, new_u[0], ul)
+        uh = jnp.where(apply_b, new_u[1], uh)
         s_abort = s_abort | (s_alive & abort_l)
         s_changed = s_changed | (s_alive & changed_l)
-        s_alive = s_alive & ~abort_l & changed_l
+        s_alive = apply & changed_l
         return sl, sh, ul, uh, s_alive, s_abort, s_changed, sit + 1
 
     sl, sh, ul, uh, _, s_abort, s_changed, _ = jax.lax.while_loop(
@@ -315,12 +316,17 @@ def _run_fixpoint(planes, max_iters, alive0=None, simple_phase=False,
         abort_l = lane_any(abort)
         changed_l = lane_any(changed)
         apply = alive & ~abort_l
+        # per-lane select as a bool vector select (1 VPU op/plane vs 3
+        # for the mask-AND-OR idiom; `apply` is lane-uniform so one row
+        # suffices).  i1 vectors stay out of the while CARRY — alive/
+        # aborted remain uint32 masks.
+        apply_b = apply[0:1, :] != 0
         planes = tuple(
-            (n & apply) | (o & ~apply) for n, o in zip(new_planes, planes)
+            jnp.where(apply_b, n, o) for n, o in zip(new_planes, planes)
         )
         aborted = aborted | (alive & abort_l)
         changed_ever = changed_ever | (alive & changed_l)
-        alive = alive & ~abort_l & changed_l
+        alive = apply & changed_l
         return planes, alive, aborted, changed_ever
 
     def body(carry):
