@@ -249,8 +249,8 @@ def bench_convolve_traced(B=4096, M=8192, cells=7):
         "unit": "conv/s",
         "vs_baseline": conv_per_sec / 1.0e7,
         "note": "traced 7-cell operands, one per board; "
-                "population-proportional extraction loop "
-                "(convolve_sparse_device)",
+                "population-proportional peel path (fused Pallas "
+                "kernel on TPU, XLA while_loop elsewhere)",
     }), flush=True)
 
 

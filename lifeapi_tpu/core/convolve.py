@@ -374,27 +374,33 @@ def convolve_counts_sparse_device(a, b, max_cells=None, n_planes=6):
     a = jnp.broadcast_to(a, shape)
     rem0 = jnp.broadcast_to(b, shape)
 
-    def body(carry):
-        rem, planes = carry
-        x, y, clear, empty = _extract_first_cell(rem)
-        addend = jnp.where(empty[..., None, None], jnp.uint32(0),
-                           _move_dyn(a, x, y))
-        new_planes = []
-        for p in planes:
-            new_planes.append(p ^ addend)
-            addend = p & addend  # carry
-        return rem & ~clear, tuple(new_planes)
+    if _prefer_ntt():
+        # fused kernel: the whole peel + ripple-add loop in VMEM
+        from ..ops import conv_sparse_pallas as CSP
 
-    init = (rem0, tuple(jnp.zeros(shape, jnp.uint32)
-                        for _ in range(n_planes)))
-    if max_cells is not None:
-        _, planes = jax.lax.fori_loop(
-            0, int(max_cells), lambda i, c: body(c), init)
+        planes = CSP.counts_sparse_fused(a, rem0, n_planes=n_planes)
     else:
-        def cond(carry):
-            return jnp.any(carry[0] != 0)
+        def body(carry):
+            rem, planes = carry
+            x, y, clear, empty = _extract_first_cell(rem)
+            addend = jnp.where(empty[..., None, None], jnp.uint32(0),
+                               _move_dyn(a, x, y))
+            new_planes = []
+            for p in planes:
+                new_planes.append(p ^ addend)
+                addend = p & addend  # carry
+            return rem & ~clear, tuple(new_planes)
 
-        _, planes = jax.lax.while_loop(cond, body, init)
+        init = (rem0, tuple(jnp.zeros(shape, jnp.uint32)
+                            for _ in range(n_planes)))
+        if max_cells is not None:
+            _, planes = jax.lax.fori_loop(
+                0, int(max_cells), lambda i, c: body(c), init)
+        else:
+            def cond(carry):
+                return jnp.any(carry[0] != 0)
+
+            _, planes = jax.lax.while_loop(cond, body, init)
     out = jnp.zeros(shape[:-2] + (64, 64), jnp.int32)
     for i, p in enumerate(planes):
         out = out + (to_dense(p).astype(jnp.int32) << i)

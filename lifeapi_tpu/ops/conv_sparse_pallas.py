@@ -130,6 +130,50 @@ def _conv_sparse_kernel(a_lo_ref, a_hi_ref, b_lo_ref, b_hi_ref,
     out_hi_ref[:] = acc_hi
 
 
+def _counts_sparse_body(a_lo, a_hi, col_iota, n_planes, carry):
+    """One peel with bit-sliced counter accumulation: the shifted copy
+    ripple-adds into ``n_planes`` packed counter planes (2 ops per plane
+    per half) instead of OR-ing (core.convolve.convolve_counts_sparse_
+    device semantics, fused)."""
+    rem_lo, rem_hi = carry[0], carry[1]
+    planes = carry[2:]
+    # reuse the OR body's extraction + translation on a throwaway acc
+    rem_lo, rem_hi, add_lo, add_hi = _conv_sparse_body(
+        a_lo, a_hi, col_iota,
+        (rem_lo, rem_hi, jnp.zeros_like(a_lo), jnp.zeros_like(a_hi)))
+    new = []
+    for i in range(n_planes):
+        p_lo, p_hi = planes[2 * i], planes[2 * i + 1]
+        new.append(p_lo ^ add_lo)
+        new.append(p_hi ^ add_hi)
+        add_lo = p_lo & add_lo  # carry
+        add_hi = p_hi & add_hi
+    return (rem_lo, rem_hi) + tuple(new)
+
+
+def _counts_sparse_kernel(a_lo_ref, a_hi_ref, b_lo_ref, b_hi_ref,
+                          *out_refs, n_planes):
+    a_lo = a_lo_ref[:]
+    a_hi = a_hi_ref[:]
+    rem_lo = b_lo_ref[:]
+    rem_hi = b_hi_ref[:]
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, a_lo.shape, 0)
+
+    def cond(c):
+        return jnp.any((c[0] | c[1]) != 0)
+
+    zero = jnp.zeros_like(a_lo)
+    init = (rem_lo, rem_hi) + tuple(zero for _ in range(2 * n_planes))
+    out = jax.lax.while_loop(
+        cond,
+        functools.partial(_counts_sparse_body, a_lo, a_hi, col_iota,
+                          n_planes),
+        init,
+    )
+    for i in range(2 * n_planes):
+        out_refs[i][:] = out[2 + i]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("batch_tile", "interpret", "unroll"))
 def conv_sparse_lohi(a_lo, a_hi, b_lo, b_hi,
@@ -155,6 +199,64 @@ def conv_sparse_lohi(a_lo, a_hi, b_lo, b_hi,
         out_specs=(spec, spec),
         interpret=interpret,
     )(a_lo, a_hi, b_lo, b_hi)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_planes", "batch_tile", "interpret"))
+def counts_sparse_lohi(a_lo, a_hi, b_lo, b_hi, n_planes=6,
+                       batch_tile=DEFAULT_BATCH_TILE, interpret=False):
+    """Bit-sliced EXACT counts with a runtime-sparse operand, fused.
+    Returns 2*n_planes arrays uint32[64, B] (counter planes, lo/hi
+    interleaved); counts are exact up to 2**n_planes - 1."""
+    n_cols, b = a_lo.shape
+    assert n_cols == 64
+    batch_tile = min(batch_tile, b)
+    assert b % batch_tile == 0, (b, batch_tile)
+    grid = (b // batch_tile,)
+    spec = pl.BlockSpec(
+        (64, batch_tile), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    shp = jax.ShapeDtypeStruct(a_lo.shape, U32)
+    return pl.pallas_call(
+        functools.partial(_counts_sparse_kernel, n_planes=n_planes),
+        out_shape=tuple(shp for _ in range(2 * n_planes)),
+        grid=grid,
+        in_specs=[spec] * 4,
+        out_specs=tuple(spec for _ in range(2 * n_planes)),
+        interpret=interpret,
+    )(a_lo, a_hi, b_lo, b_hi)
+
+
+def counts_sparse_fused(a, b, n_planes=6, batch_tile=DEFAULT_BATCH_TILE,
+                        interpret=False):
+    """Packed-board entry for fused sparse counts: ``a``/``b``
+    uint32[..., 64, 2] broadcastable, ``b`` the runtime-sparse operand.
+    Returns ``n_planes`` packed counter planes uint32[..., 64, 2]
+    (bit i of the per-cell count in plane i)."""
+    from . import step_pallas as SP
+
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    ab = jnp.broadcast_to(a, shape).reshape((-1, 64, 2))
+    bb = jnp.broadcast_to(b, shape).reshape((-1, 64, 2))
+    B = ab.shape[0]
+    if B >= batch_tile:
+        tile = batch_tile
+    else:
+        tile = B if interpret else 128  # Pallas lane tiles >= 128 on TPU
+    pad = -B % tile
+    if pad:
+        z = jnp.zeros((pad, 64, 2), U32)
+        ab = jnp.concatenate([ab, z])
+        bb = jnp.concatenate([bb, z])
+    a_lo, a_hi = SP.to_kernel_layout(ab)
+    b_lo, b_hi = SP.to_kernel_layout(bb)
+    flat = counts_sparse_lohi(a_lo, a_hi, b_lo, b_hi, n_planes=n_planes,
+                              batch_tile=tile, interpret=interpret)
+    return [
+        SP.from_kernel_layout(flat[2 * i], flat[2 * i + 1])[:B]
+        .reshape(shape)
+        for i in range(n_planes)
+    ]
 
 
 def convolve_sparse_fused(a, b, batch_tile=DEFAULT_BATCH_TILE,

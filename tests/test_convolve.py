@@ -416,3 +416,28 @@ def test_interaction_offsets_routes_agree(rng):
         lambda a, b: convolve.interaction_offsets(a, b, method="sparse"))(
             aa, bb))
     assert (dense_b == sp_b).all()
+
+
+def test_counts_sparse_fused_kernel(rng):
+    """The fused bit-sliced counts kernel (interpret mode) must equal
+    the FFT counts for random sparse operands, and the jnp ripple-add
+    path must agree with both."""
+    from lifeapi_tpu.ops import conv_sparse_pallas as CSP
+
+    B = 6
+    da = rng.random((B, 64, 64)) < 0.15
+    db = np.zeros((B, 64, 64), bool)
+    for i in range(B):
+        k = int(rng.integers(0, 12))
+        if k:
+            db[i, rng.integers(0, 64, k), rng.integers(0, 64, k)] = True
+    a = board.from_dense(jnp.asarray(da))
+    b = board.from_dense(jnp.asarray(db))
+    ref = np.asarray(convolve.convolve_counts(a, b, method="fft"))
+    planes = CSP.counts_sparse_fused(a, b, interpret=True)
+    out = np.zeros((B, 64, 64), np.int64)
+    for i, p in enumerate(planes):
+        out += np.asarray(board.to_dense(p)).astype(np.int64) << i
+    assert (out == ref).all()
+    jnp_path = np.asarray(convolve.convolve_counts_sparse_device(a, b))
+    assert (jnp_path == ref).all()
