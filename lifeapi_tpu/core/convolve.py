@@ -581,8 +581,6 @@ def interaction_offsets(a, b, method=None):
     ``method="sparse"`` forces the traced-operand peel path (one fused
     kernel call over all 7 stacked pairs); otherwise one batched NTT
     counts transform covers the dense case."""
-    import functools as _ft
-
     from .step import neighbour_counts
 
     def masks(state):
@@ -610,8 +608,20 @@ def interaction_offsets(a, b, method=None):
         (b_ge4 & b_state, a_ge1 & ~a_state),
     ]
 
+    return union_interacting(pairs, method=method)
+
+
+def union_interacting(pairs, method=None):
+    """OR over (left, right) pairs of their OR-convolutions — the shared
+    routing engine of the interaction_offsets family (core and weld
+    variants).  Routes: ``method="sparse"`` -> ONE stacked fused
+    peel-kernel call with per-lane min-side swap; concrete small masks
+    -> per-pair shift-OR convolutions; otherwise one batched NTT counts
+    transform."""
+    import functools as _ft
+
     if method == "sparse":
-        # traced sparse operands: ONE fused peel-kernel call over the 7
+        # traced sparse operands: ONE fused peel-kernel call over the
         # stacked pairs.  The peel loop costs the MAX population over
         # every lane in the call, and the pairs are lopsided (e.g.
         # a3&a_state is a subset of the pattern while b_ge1&~b_state is
@@ -640,15 +650,15 @@ def interaction_offsets(a, b, method=None):
 
     if method is None and all(_pair_sparse(l, r) for l, r in pairs):
         # concrete sparse masks (the predict-then-simulate workload:
-        # both patterns host-known and small): 7 shift-OR convolutions,
-        # no transform at all
+        # both patterns host-known and small): per-pair shift-OR
+        # convolutions, no transform at all
         out = None
         for l, r in pairs:
             c = convolve(l, r)
             out = c if out is None else out | c
         return out
 
-    # dense case: one batched NTT counts transform for all 7 mask pairs
+    # dense case: one batched NTT counts transform for all mask pairs
     lefts = jnp.stack([p[0] for p in pairs], axis=0)
     rights = jnp.stack([p[1] for p in pairs], axis=0)
     counts = convolve_counts(lefts, rights)

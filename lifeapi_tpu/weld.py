@@ -112,10 +112,12 @@ def interaction_counts(weld: LifeWeld):
     return out1 & nf_zoi, out2 & nf_zoi, out_more & nf_zoi
 
 
-def interaction_offsets(a: LifeWeld, b: LifeWeld):
+def interaction_offsets(a: LifeWeld, b: LifeWeld, method=None):
     """Frozen-aware variant of InteractionOffsets (reference
     LifeWeld.hpp:206-245): interactions involving frozen boundary cells are
-    ignored."""
+    ignored.  Routing as in core.convolve.union_interacting: concrete
+    small masks ride the shift-OR path, ``method="sparse"`` the stacked
+    fused peel kernel, dense operands the batched NTT transform."""
 
     def masks(state):
         bit3, bit2, bit1, bit0 = S.neighbour_counts(state)
@@ -144,10 +146,7 @@ def interaction_offsets(a: LifeWeld, b: LifeWeld):
         (b3 & b_state & ~b_ignored, a_ge2 & ~a_state & ~a_ignored),
         (b_ge4 & b_state & ~b_ignored, a_ge1 & ~a_state & ~a_ignored),
     ]
-    lefts = jnp.stack([p[0] for p in pairs])
-    rights = jnp.stack([p[1] for p in pairs])
-    counts = conv.convolve_counts(lefts, rights)
-    return B.from_dense(jnp.any(counts > 0, axis=0))
+    return conv.union_interacting(pairs, method=method)
 
 
 def to_stable(weld: LifeWeld):
