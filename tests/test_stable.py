@@ -306,3 +306,44 @@ def test_windowed_dfs_matches_unwindowed(rng):
             H.HostStable.propagate = orig_pr
         assert r1 == r2
         assert (b1 == b2).all()
+
+
+def test_complete_stable_strict_refuses_restricted_verdict(monkeypatch):
+    """Round 5: with strict=True, an INCONSISTENT verdict held at a
+    budget break while the search area was still ring-restricted must
+    degrade to TIMEOUT (the reference loop's budget-artifact class);
+    the default stays reference-faithful.  Deterministic via a fake
+    clock that advances one second per reading."""
+    import itertools
+
+    import numpy as np
+
+    from lifeapi_tpu.stable import complete as C
+    from lifeapi_tpu.stable.host import HostStable
+
+    # a lone ON cell whose neighbours are all known-OFF is inconsistent
+    # in the FIRST ring already; the unknowns sit outside ring 1, so the
+    # verdict is ring-restricted when the (fake) deadline expires
+    state = np.zeros((64, 64), bool)
+    state[32, 32] = True
+    unknown = np.zeros((64, 64), bool)
+    unknown[40:43, 40:43] = True
+
+    class FakeTime:
+        def __init__(self):
+            self.c = itertools.count()
+
+        def monotonic(self):
+            return float(next(self.c))
+
+    for strict, expected in ((False, C.CompletionResult.INCONSISTENT),
+                             (True, C.CompletionResult.TIMEOUT)):
+        monkeypatch.setattr(C, "time", FakeTime())
+        st = HostStable(state.copy(), unknown.copy(),
+                        np.zeros((64, 64), np.uint8))
+        # deadline 1.5 fake-seconds: the ring-1 step's entry check reads
+        # t=1 (within budget, so it runs and proves the RESTRICTED
+        # instance inconsistent), the loop's break check reads t=2
+        # (expired) — the exact artifact scenario
+        result, _ = C.complete_stable(st, timeout=1.5, strict=strict)
+        assert result == expected, (strict, result)
