@@ -120,11 +120,11 @@ def step_eo(e, o):
     return ne, no
 
 
-def _rollout_kernel_eo(e_ref, o_ref, out_e_ref, out_o_ref, *, steps):
+def _rollout_kernel_eo(e_ref, o_ref, out_e_ref, out_o_ref, *, steps,
+                       unroll=DEFAULT_UNROLL):
     e = e_ref[:]
     o = o_ref[:]
 
-    unroll = DEFAULT_UNROLL
     main, rem = divmod(steps, unroll)
 
     def body(_, carry):
@@ -335,9 +335,10 @@ def rollout_lohi(lo, hi, steps, batch_tile=DEFAULT_BATCH_TILE, interpret=False):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("steps", "batch_tile", "interpret")
+    jax.jit, static_argnames=("steps", "batch_tile", "interpret", "unroll")
 )
-def rollout_eo(e, o, steps, batch_tile=DEFAULT_BATCH_TILE, interpret=False):
+def rollout_eo(e, o, steps, batch_tile=DEFAULT_BATCH_TILE, interpret=False,
+               unroll=DEFAULT_UNROLL):
     """Advance interleaved-packed boards (see bitops.interleave_split)
     ``steps`` generations — the fastest path (~1.27e9 steps/s on v5e)."""
     n_cols, b = e.shape
@@ -349,7 +350,7 @@ def rollout_eo(e, o, steps, batch_tile=DEFAULT_BATCH_TILE, interpret=False):
         (64, batch_tile), lambda i: (0, i), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
-        functools.partial(_rollout_kernel_eo, steps=steps),
+        functools.partial(_rollout_kernel_eo, steps=steps, unroll=unroll),
         out_shape=(
             jax.ShapeDtypeStruct(e.shape, U32),
             jax.ShapeDtypeStruct(o.shape, U32),

@@ -21,6 +21,14 @@ Peak model (documented so the number is auditable):
   slots, and not every op mix reaches 4-way issue, so sustained fractions
   above ~50% are excellent and >80% is effectively speed-of-light.
 
+  Round 5: the model is superseded for utilization quotes by the
+  MEASURED ceiling of ops/calibrate_pallas.py — a known-op-count kernel
+  in the bit-kernel mix sustains ~5.9e12 (elemwise) / 4.9e12 (+rolls)
+  lane-ops/s at lane tile 128, falling to ~3.1e12 at tile 512, i.e. the
+  model UNDERSTATES small-tile hardware by ~1.5x and the ceiling is
+  tile-dependent.  BENCH_NOTES quotes calibrated utilization (measured
+  lane-ops/s over the rolls-mix ceiling at the kernel's own tile).
+
 CPU baseline model (for the host-oracle comparisons): one Xeon core at
 2.1 GHz executing ~3 scalar 64-bit ALU ops/cycle ~= 6.3e9 word-ops/s;
 each 64-bit word-op is 2 lane-ops in the 32-bit accounting below.
