@@ -661,7 +661,13 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
             lane_tile = 128  # Pallas TPU lane-tile minimum (round-5
             # review: small problem sets used to hand Mosaic an
             # under-sized tile)
-        step = max(1, lane_tile // F)  # F is a power of two
+        if F > lane_tile:
+            # a problem's F-lane group must never straddle a tile: the
+            # in-kernel lane-group rotates would mix problems
+            raise ValueError(
+                f"frontier={F} exceeds lane tile {lane_tile}; raise "
+                f"batch_tile or lower the frontier")
+        step = lane_tile // F  # F is a power of two
         b_pad = -(-B // step) * step
         use_seed = seed is not None
         use_bound = init_bound is not None
@@ -774,7 +780,11 @@ def complete_stable_beam_queued(stable, chunk=8192, frontier=4, iters=24,
         lane_tile = flat
     else:
         lane_tile = 128  # Pallas TPU lane-tile minimum
-    step = max(1, lane_tile // F)
+    if F > lane_tile:
+        raise ValueError(
+            f"frontier={F} exceeds lane tile {lane_tile}; raise "
+            f"batch_tile or lower the frontier")
+    step = lane_tile // F
     b_pad = -(-chunk // step) * step
 
     pad = -B_total % chunk

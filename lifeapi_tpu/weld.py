@@ -314,7 +314,10 @@ def unweldable_mask(a: LifeWeld, b: LifeWeld, starting_good=None,
 
     offsets = list(B.on_cells(to_test))
     if not offsets:
-        return B.from_dense(jnp.asarray(bad_dense))
+        mask = B.from_dense(jnp.asarray(bad_dense))
+        # honor the (mask, stats) contract on the degenerate
+        # all-predetermined input too (round-5 review)
+        return (mask, {"placements": 0}) if return_stats else mask
 
     # ONE jitted builder for the per-offset stable problems (both
     # engines): per-placement eager `to_stable` calls would pay one
