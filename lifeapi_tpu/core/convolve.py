@@ -358,17 +358,28 @@ def convolve_sparse_device(a, b, max_cells=None):
     return acc
 
 
-def convolve_counts_sparse_device(a, b, max_cells=None, n_planes=6):
+def convolve_counts_sparse_device(a, b, max_cells=None, n_planes=None):
     """EXACT convolution counts with a runtime-sparse operand ``b``
     (round-5, VERDICT r04 weak #5): the same per-cell peel loop as
     :func:`convolve_sparse_device`, but each shifted copy of ``a`` is
     ripple-added into ``n_planes`` bit-sliced packed counter planes
     (2 word-ops per plane per peel) instead of OR-ed — population-
     proportional cost, no transform, counts exact up to
-    ``2**n_planes - 1`` (the caller must bound pop(b) accordingly;
-    the auto-dispatch proves <= 48 < 2**6).  Returns int32[..., 64, 64].
-    """
+    ``2**n_planes - 1``.
+
+    ``n_planes=None`` resolves to the minimal width for a PROVEN bound
+    (``max_cells``, e.g. from the concrete auto-dispatch) and otherwise
+    to 13 — every possible count (<= 4096) fits, so the default is
+    exact for ANY operand rather than silently wrapping mod 2**6 on a
+    dense one (round-5 fuzz finding).  Callers with a known small
+    bound may pass a smaller width for ~20% less peel work."""
     import jax
+
+    if n_planes is None:
+        if max_cells is not None:
+            n_planes = max(1, int(max_cells).bit_length())
+        else:
+            n_planes = 13  # counts <= min(pop(a), pop(b)) <= 4096
 
     shape = jnp.broadcast_shapes(a.shape, b.shape)
     a = jnp.broadcast_to(a, shape)

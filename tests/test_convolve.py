@@ -441,3 +441,18 @@ def test_counts_sparse_fused_kernel(rng):
     assert (out == ref).all()
     jnp_path = np.asarray(convolve.convolve_counts_sparse_device(a, b))
     assert (jnp_path == ref).all()
+
+
+def test_counts_sparse_dense_operand_exact(rng):
+    """Round-5 fuzz finding: method="sparse" counts must be exact for
+    ANY operand population (the old 6-plane default wrapped mod 64 on
+    dense operands); the auto-width default must cover counts > 63."""
+    B = 3
+    da = rng.random((B, 64, 64)) < 0.3
+    db = rng.random((B, 64, 64)) < 0.5
+    a = board.from_dense(jnp.asarray(da))
+    b = board.from_dense(jnp.asarray(db))
+    ref = np.asarray(convolve.convolve_counts(a, b, method="fft"))
+    got = np.asarray(convolve.convolve_counts(a, b, method="sparse"))
+    assert ref.max() > 63  # exercises widths beyond 6 bits
+    assert (got == ref).all()
