@@ -165,3 +165,42 @@ def test_unweldable_mask_host_return_stats():
         return_stats=True)
     assert mask.shape == (64, 2)
     assert stats["placements"] >= 0 and "host_determined" in stats
+
+
+def test_to_stable_with_history_pipeline():
+    """End-to-end Bellman workflow (reference ToStable(active, duration,
+    mask), LifeWeld.hpp:327-400 — previously untested): strip an eater's
+    stator, replay the glider reaction under option restrictions,
+    complete a stator, and verify the completed background still
+    performs the reaction bit-exactly."""
+    from lifeapi_tpu.core.step import step_n
+    from lifeapi_tpu.stable import propagate as P
+    from lifeapi_tpu.symmetry import transforms as tr
+    from lifeapi_tpu.symmetry.transforms import SymmetryTransform as T
+
+    def build(pat, pre_dx=0, pre_dy=0, dx=0, dy=0):
+        b = board.move(rle.parse(pat), pre_dx, pre_dy)
+        b = tr.transform(b, T.Rotate270)
+        return board.move(b, 24 + dx, 24 + dy)
+
+    glider = board.move(rle.parse("bob$2bo$3o!"), 8, 8)
+    catalyst = build("2b2o$bobo$bo$2o!", dx=0, dy=4)
+    required = build("2b2o$b3o$b4o$5o$4o$4o!", pre_dx=-1, pre_dy=-1,
+                     dx=0, dy=4)
+    w = W.from_required(catalyst, required)
+    assert bool(W.step(w).equal(w))
+    assert not bool(board.is_empty(catalyst & ~w.state))  # stator stripped
+
+    H = 64
+    stab = W.to_stable_with_history(w, glider, H)
+    area = board.big_zoi(catalyst)
+    stab = P.set_off(stab, board.to_dense(~area & ~w.state))
+    host_st = HO.HostStable(
+        np.asarray(stab.state), np.asarray(stab.unknown),
+        np.asarray(stab.ruled))
+    result, best = C.complete_stable(host_st, timeout=30.0, minimise=True)
+    assert result == C.CompletionResult.COMPLETED
+    background = board.from_dense(jnp.asarray(best))
+    assert bool(board.equal(step_n(background, 1), background))
+    final = step_n(background | glider, H)
+    assert bool(board.equal(final, background))
