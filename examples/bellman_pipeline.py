@@ -23,8 +23,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax  # noqa: E402
 
-if jax.default_backend() not in ("tpu",):
-    jax.config.update("jax_platforms", "cpu")
+# demo-sized problem: run on CPU everywhere (the unrolled 64-generation
+# replay graph is fast to execute but slow to remote-compile through a
+# tunneled TPU; production users jit make_problems on a local TPU)
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
