@@ -120,8 +120,51 @@ def sharded_scenario_sweep(problems_initial, target, horizon, control_mask,
     return run(problems_initial, logits0)
 
 
+def _shard_beam(bst_local, frontier, iters, minimise, engine, interpret,
+                init_bound=None):
+    """One device's beam search inside shard_map: the portable jnp path
+    or the fused whole-search Pallas kernel (``engine="fused"`` — what a
+    real TPU mesh runs; interpret=True exercises it on CPU meshes).
+    Returns (found, best, pop, proved)."""
+    import jax.numpy as jnp
+
+    from ..stable import complete as C
+
+    if engine != "fused":
+        return C.beam_search_jnp(bst_local, frontier, iters, minimise,
+                                 init_bound=init_bound)
+    B = bst_local.state.shape[0]
+    F = frontier
+    flat = B * F
+    batch_tile = 128
+    if flat >= batch_tile:
+        lane_tile = batch_tile
+    elif interpret:
+        lane_tile = flat
+    else:
+        lane_tile = 128
+    step = lane_tile // F
+    b_pad = -(-B // step) * step
+    zero_seed = jnp.zeros((B, 64, 2), jnp.uint32)
+    if init_bound is None:
+        bound = jnp.zeros((B,), jnp.int32)
+    else:
+        bound = jnp.broadcast_to(
+            jnp.asarray(init_bound, jnp.int32), (B,))
+    buf = C._fused_beam_run(
+        bst_local, zero_seed, bound, F=F, iters=iters, minimise=minimise,
+        b_pad=b_pad, lane_tile=lane_tile, interpret=interpret,
+        use_seed=False, needs_pack=False, simple_phase=False,
+        use_bound=init_bound is not None, compact=False)
+    best = buf[:, :128].reshape(B, 64, 2)
+    found = buf[:, 128] != 0
+    pop = buf[:, 129].astype(jnp.int32)
+    proved = buf[:, 130] != 0
+    return found, best, pop, proved
+
+
 def sharded_beam_complete(bst, mesh, frontier=4, iters=32, minimise=True,
-                          two_phase=False):
+                          two_phase=False, engine="jnp", interpret=False):
     """Stable-completion beam search data-parallel over the WHOLE mesh,
     with a cross-device champion exchange — the sharded counterpart of
     stable/complete.complete_stable_beam (SURVEY.md section 2.8: sharded
@@ -141,6 +184,10 @@ def sharded_beam_complete(bst, mesh, frontier=4, iters=32, minimise=True,
     CHAMPION outputs are refined: per-problem found/best/pop keep phase-1
     semantics (a cross-problem bound would wrongly suppress per-problem
     completions above the global champion).
+
+    ``engine="fused"`` runs the whole-search Pallas kernel per device
+    shard (what a real TPU mesh should use; ``interpret=True`` exercises
+    it on CPU meshes — tests/test_parallel.py pins jnp/fused equality).
     """
     from ..stable import complete as C
 
@@ -173,16 +220,14 @@ def sharded_beam_complete(bst, mesh, frontier=4, iters=32, minimise=True,
             champ = jax.lax.psum(champ_local, both)
             return champ, gmin // n_dev
 
-        found, best, pop, proved = C.beam_search_jnp(
-            bst_local, frontier, iters, minimise
-        )
+        found, best, pop, proved = _shard_beam(
+            bst_local, frontier, iters, minimise, engine, interpret)
         champ, champ_pop = exchange(found, best, pop)
 
         if two_phase:
-            f2, b2, p2, _ = C.beam_search_jnp(
-                bst_local, frontier, iters, minimise,
-                init_bound=champ_pop,
-            )
+            f2, b2, p2, _ = _shard_beam(
+                bst_local, frontier, iters, minimise, engine, interpret,
+                init_bound=champ_pop)
             champ2, champ2_pop = exchange(f2, b2, p2)
             improved = champ2_pop < champ_pop
             champ = jnp.where(improved, champ2, champ)
@@ -196,7 +241,8 @@ def sharded_beam_complete(bst, mesh, frontier=4, iters=32, minimise=True,
 
 def sharded_portfolio(state, unknown, key, mesh, replicas=256, frontier=4,
                       iters=192, minimise=True, two_phase=True,
-                      dfs_polish_timeout=None):
+                      dfs_polish_timeout=None, engine="jnp",
+                      interpret=False):
     """Single-hard-instance portfolio search sharded over the WHOLE mesh —
     the missing SURVEY §2.8 composition for the reference's deep-DFS
     workload (LifeStable.hpp:1340-1458): ONE stable-completion instance,
@@ -215,7 +261,9 @@ def sharded_portfolio(state, unknown, key, mesh, replicas=256, frontier=4,
     Per-replica results are bit-exact regardless of the mesh shape (pure
     data parallelism), and the champion's population is mesh-invariant
     (its identity may tie-break by device rank); tests/test_portfolio.py
-    pins both on 1/2/8-device CPU meshes.
+    pins both on 1/2/8-device CPU meshes.  ``engine="fused"`` runs the
+    whole-search Pallas kernel per device shard (a real TPU mesh's
+    configuration; ``interpret=True`` for CPU meshes).
 
     ``state``/``unknown``: packed uint32[64, 2].  Returns
     stable.complete.PortfolioResult (champion back-transformed to the
@@ -269,13 +317,14 @@ def sharded_portfolio(state, unknown, key, mesh, replicas=256, frontier=4,
                 jnp.where(win, rank * local_R + li, 0), both)
             return champ, gmin // n_dev, gidx
 
-        found, best, pop, _ = C.beam_search_jnp(
-            bst_local, frontier, iters, minimise)
+        found, best, pop, _ = _shard_beam(
+            bst_local, frontier, iters, minimise, engine, interpret)
         champ, champ_pop, champ_idx = exchange(found, best, pop)
 
         if two_phase and minimise:
-            f2, b2, p2, _ = C.beam_search_jnp(
-                bst_local, frontier, iters, minimise, init_bound=champ_pop)
+            f2, b2, p2, _ = _shard_beam(
+                bst_local, frontier, iters, minimise, engine, interpret,
+                init_bound=champ_pop)
             champ2, champ2_pop, champ2_idx = exchange(f2, b2, p2)
             improved = champ2_pop < champ_pop
             champ = jnp.where(improved, champ2, champ)

@@ -163,3 +163,57 @@ def test_sharded_catalyst_search_matches_single(mesh8):
         SR.successful_catalysts(ref)).sum())
     assert (np.asarray(inter) == np.asarray(ref.interacted)).all()
     assert (np.asarray(rec) == np.asarray(ref.recovered)).all()
+
+
+def test_sharded_beam_fused_engine_matches_jnp(mesh8):
+    """engine="fused" (the real-mesh configuration: the whole-search
+    Pallas kernel per device shard, interpret mode on the CPU mesh) must
+    produce the same per-problem results and champion as the portable
+    jnp engine."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lifeapi_tpu.core import board, rle
+    from lifeapi_tpu.stable import bitplane as BP
+
+    eater = board.move(rle.parse("2b2o$bobo$bo$2o!"), 20, 20)
+    hide = board.from_cells([(20, 20)])
+    unknown = (board.zoi(eater) & ~eater) | hide
+    B = 16
+    bst = BP.make(
+        state=jnp.broadcast_to(eater & ~hide, (B, 64, 2)),
+        unknown=jnp.broadcast_to(unknown, (B, 64, 2)),
+    )
+    f_j, b_j, p_j, c_j, cp_j = elite.sharded_beam_complete(
+        bst, mesh8, frontier=2, iters=6, minimise=True, engine="jnp")
+    f_f, b_f, p_f, c_f, cp_f = elite.sharded_beam_complete(
+        bst, mesh8, frontier=2, iters=6, minimise=True, engine="fused",
+        interpret=True)
+    assert (np.asarray(f_j) == np.asarray(f_f)).all()
+    assert (np.asarray(p_j) == np.asarray(p_f)).all()
+    assert int(cp_j) == int(cp_f)
+
+
+def test_sharded_portfolio_fused_engine(mesh8):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lifeapi_tpu.core import board, rle
+    from lifeapi_tpu.core.step import step as life_step
+
+    eater = board.move(rle.parse("2b2o$bobo$bo$2o!"), 20, 20)
+    hide = board.from_cells([(20, 20), (21, 20)])
+    unknown = (board.zoi(eater) & ~eater) | hide
+    state = eater & ~hide
+    res_j = elite.sharded_portfolio(
+        state, unknown, jax.random.key(7), mesh8, replicas=16,
+        frontier=2, iters=16, two_phase=False, engine="jnp")
+    res_f = elite.sharded_portfolio(
+        state, unknown, jax.random.key(7), mesh8, replicas=16,
+        frontier=2, iters=16, two_phase=False, engine="fused",
+        interpret=True)
+    assert res_f.found and res_f.best_pop == res_j.best_pop
+    b = jnp.asarray(res_f.best)
+    assert bool(board.equal(life_step(b), b))
+    assert bool(board.is_empty(state & ~b))
