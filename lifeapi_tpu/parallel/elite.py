@@ -189,12 +189,26 @@ def sharded_beam_complete(bst, mesh, frontier=4, iters=32, minimise=True,
     shard (what a real TPU mesh should use; ``interpret=True`` exercises
     it on CPU meshes — tests/test_parallel.py pins jnp/fused equality).
     """
-    from ..stable import complete as C
+    run = _sharded_beam_runner(mesh, frontier, iters, minimise, two_phase,
+                               engine, interpret)
+    bst_in = type(bst)(bst.state, bst.unknown, tuple(bst.ruled))
+    return run(bst_in)
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_beam_runner(mesh, frontier, iters, minimise, two_phase,
+                         engine, interpret):
+    """Cached shard_map'd runner for sharded_beam_complete: Mesh is
+    value-hashable, so repeat calls with the same configuration reuse
+    ONE compiled executable.  (Round-5 measurement: the runner used to
+    be a fresh closure per call, so every call re-traced and re-compiled
+    — 50-120 s per call through a tunneled TPU.)"""
+    from ..stable import complete as C  # noqa: F401  (used via _shard_beam)
 
     both = (SCENARIO_AXIS, CANDIDATE_AXIS)
     n_dev = mesh.devices.size
-    SENTINEL = jnp.int32(5000)  # > max population 4096
 
+    @jax.jit
     @functools.partial(
         shard_map,
         mesh=mesh,
@@ -203,6 +217,7 @@ def sharded_beam_complete(bst, mesh, frontier=4, iters=32, minimise=True,
         check_vma=False,
     )
     def run(bst_local):
+        SENTINEL = jnp.int32(5000)  # > max population 4096
         rank = (jax.lax.axis_index(SCENARIO_AXIS)
                 * jax.lax.axis_size(CANDIDATE_AXIS)
                 + jax.lax.axis_index(CANDIDATE_AXIS))
@@ -235,8 +250,7 @@ def sharded_beam_complete(bst, mesh, frontier=4, iters=32, minimise=True,
 
         return found, best, pop, champ, champ_pop
 
-    bst_in = type(bst)(bst.state, bst.unknown, tuple(bst.ruled))
-    return run(bst_in)
+    return run
 
 
 def sharded_portfolio(state, unknown, key, mesh, replicas=256, frontier=4,
@@ -288,9 +302,56 @@ def sharded_portfolio(state, unknown, key, mesh, replicas=256, frontier=4,
     st_r, un_r = jax.jit(C._build_replicas)(state, unknown, dx, dy)
     bst = BP.make(state=st_r, unknown=un_r)
 
-    both = (SCENARIO_AXIS, CANDIDATE_AXIS)
-    SENTINEL = jnp.int32(5000)  # > max population 4096
+    run = _sharded_portfolio_runner(mesh, replicas, frontier, iters,
+                                    minimise, two_phase, engine, interpret)
+    found, champ, champ_pop, champ_idx = run(bst)
+    found_np = np.asarray(found)
+    if int(champ_pop) >= 5000:  # SENTINEL: nothing found anywhere
+        return C.PortfolioResult(False, np.zeros((64, 2), np.uint32), 0, 0.0)
 
+    i = int(champ_idx)
+    t = int(i % 16)
+    back = BRD.move(jnp.asarray(champ), -int(dx[i]), -int(dy[i]))
+    back = TR.transform(back, TR.transform_inverse(t))
+    best_pop = int(champ_pop)
+    champ_np = np.asarray(back)
+
+    if minimise and dfs_polish_timeout and jax.process_index() == 0:
+        # champion-bounded host DFS polish (reference exhaustive
+        # semantics, LifeStable.hpp:1353-1356); lead process only — its
+        # result does not enter any collective, so multi-host processes
+        # stay consistent on the device-side champion
+        import time as _time
+
+        hst = C.HostStable(
+            state=C._np_to_dense(np.asarray(state)),
+            unknown=C._np_to_dense(np.asarray(unknown)),
+        )
+        search = C._Search(_time.monotonic() + float(dfs_polish_timeout),
+                           True, False, np.zeros((64, 64), bool))
+        search.max_pop = best_pop
+        search.step(hst)
+        if search.best is not None and search.best.any():
+            pop_h = int(search.best.sum())
+            if pop_h < best_pop:
+                best_pop = pop_h
+                champ_np = np.asarray(C._np_from_dense(search.best))
+
+    return C.PortfolioResult(
+        True, champ_np, best_pop, float(found_np.mean()))
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_portfolio_runner(mesh, replicas, frontier, iters, minimise,
+                              two_phase, engine, interpret):
+    """Cached shard_map'd runner for sharded_portfolio (same rationale as
+    _sharded_beam_runner: a fresh closure per call means a fresh compile
+    per call)."""
+    both = (SCENARIO_AXIS, CANDIDATE_AXIS)
+    n_dev = mesh.devices.size
+    local_R = replicas // n_dev
+
+    @jax.jit
     @functools.partial(
         shard_map,
         mesh=mesh,
@@ -299,6 +360,7 @@ def sharded_portfolio(state, unknown, key, mesh, replicas=256, frontier=4,
         check_vma=False,
     )
     def run(bst_local):
+        SENTINEL = jnp.int32(5000)  # > max population 4096
         rank = (jax.lax.axis_index(SCENARIO_AXIS)
                 * jax.lax.axis_size(CANDIDATE_AXIS)
                 + jax.lax.axis_index(CANDIDATE_AXIS))
@@ -333,41 +395,7 @@ def sharded_portfolio(state, unknown, key, mesh, replicas=256, frontier=4,
 
         return found, champ, champ_pop, champ_idx
 
-    found, champ, champ_pop, champ_idx = run(bst)
-    found_np = np.asarray(found)
-    if int(champ_pop) >= int(SENTINEL):
-        return C.PortfolioResult(False, np.zeros((64, 2), np.uint32), 0, 0.0)
-
-    i = int(champ_idx)
-    t = int(i % 16)
-    back = BRD.move(jnp.asarray(champ), -int(dx[i]), -int(dy[i]))
-    back = TR.transform(back, TR.transform_inverse(t))
-    best_pop = int(champ_pop)
-    champ_np = np.asarray(back)
-
-    if minimise and dfs_polish_timeout and jax.process_index() == 0:
-        # champion-bounded host DFS polish (reference exhaustive
-        # semantics, LifeStable.hpp:1353-1356); lead process only — its
-        # result does not enter any collective, so multi-host processes
-        # stay consistent on the device-side champion
-        import time as _time
-
-        hst = C.HostStable(
-            state=C._np_to_dense(np.asarray(state)),
-            unknown=C._np_to_dense(np.asarray(unknown)),
-        )
-        search = C._Search(_time.monotonic() + float(dfs_polish_timeout),
-                           True, False, np.zeros((64, 64), bool))
-        search.max_pop = best_pop
-        search.step(hst)
-        if search.best is not None and search.best.any():
-            pop_h = int(search.best.sum())
-            if pop_h < best_pop:
-                best_pop = pop_h
-                champ_np = np.asarray(C._np_from_dense(search.best))
-
-    return C.PortfolioResult(
-        True, champ_np, best_pop, float(found_np.mean()))
+    return run
 
 
 def sharded_rollout(boards, steps, mesh):
