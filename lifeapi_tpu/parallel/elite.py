@@ -403,11 +403,17 @@ def sharded_rollout(boards, steps, mesh):
     psum population reduction: boards [B, 64, 2] sharded over both axes,
     stepped ``steps`` generations in an on-device scan.  Returns
     (final boards [B, 64, 2], global total population [])."""
+    return _sharded_rollout_runner(mesh, steps)(boards)
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_rollout_runner(mesh, steps):
     from ..core import board as BRD
     from ..core import step as S
 
     both = (SCENARIO_AXIS, CANDIDATE_AXIS)
 
+    @jax.jit
     @functools.partial(
         shard_map,
         mesh=mesh,
@@ -420,7 +426,7 @@ def sharded_rollout(boards, steps, mesh):
         local_pop = jnp.sum(BRD.population(final))
         return final, jax.lax.psum(local_pop, both)
 
-    return run(boards)
+    return run
 
 
 def sharded_catalyst_search(active, catalyst, offsets, horizon, mesh,
@@ -434,10 +440,17 @@ def sharded_catalyst_search(active, catalyst, offsets, horizon, mesh,
     The per-shard engine defaults to the portable XLA scan
     (``engine="fused"`` selects the Pallas kernel on real TPU meshes);
     both are bit-exact (tests/test_search.py)."""
+    return _sharded_catalyst_runner(mesh, horizon, engine)(
+        active, catalyst, offsets)
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_catalyst_runner(mesh, horizon, engine):
     from .. import search as SR
 
     both = (SCENARIO_AXIS, CANDIDATE_AXIS)
 
+    @jax.jit
     @functools.partial(
         shard_map,
         mesh=mesh,
@@ -452,4 +465,4 @@ def sharded_catalyst_search(active, catalyst, offsets, horizon, mesh,
         return (res.interacted, res.recovered,
                 jax.lax.psum(jnp.sum(hits, dtype=jnp.int32), both))
 
-    return run(active, catalyst, offsets)
+    return run
