@@ -34,6 +34,11 @@ def sharded_candidate_solve(problem, logits0, mesh, iters=60, topk=4,
     logits0: [C, T, 64, 64] with C divisible by the mesh size.  Flow per
     device: gradient-optimize local shard -> binarize + hard-score ->
     local top-k -> all_gather elites over both axes -> global argmin.
+
+    Note: the runner closes over ``problem`` (arrays), so each CALL
+    compiles fresh — fine for one sweep per problem set, which is this
+    function's use.  Repeat-call workloads should follow the cached-
+    runner pattern of _sharded_beam_runner.
     """
 
     both = (SCENARIO_AXIS, CANDIDATE_AXIS)
