@@ -456,3 +456,28 @@ def test_counts_sparse_dense_operand_exact(rng):
     got = np.asarray(convolve.convolve_counts(a, b, method="sparse"))
     assert ref.max() > 63  # exercises widths beyond 6 bits
     assert (got == ref).all()
+
+
+def test_conv_sparse_fused_param_variants(rng):
+    """unroll and n_planes parameter variants stay bit-identical to the
+    defaults (unrolling only changes scheduling; wider counters only
+    change headroom)."""
+    from lifeapi_tpu.ops import conv_sparse_pallas as CSP
+
+    B = 5
+    da = rng.random((B, 64, 64)) < 0.1
+    db = np.zeros((B, 64, 64), bool)
+    for i in range(B):
+        db[i, rng.integers(0, 64, 7), rng.integers(0, 64, 7)] = True
+    a = board.from_dense(jnp.asarray(da))
+    b = board.from_dense(jnp.asarray(db))
+    ref = np.asarray(CSP.convolve_sparse_fused(a, b, interpret=True))
+    for unroll in (2, 4):
+        got = np.asarray(CSP.convolve_sparse_fused(
+            a, b, interpret=True, unroll=unroll))
+        assert (got == ref).all(), unroll
+    cref = np.asarray(convolve.convolve_counts(a, b, method="fft"))
+    for n_planes in (3, 6, 13):
+        got = np.asarray(convolve.convolve_counts_sparse_device(
+            a, b, n_planes=n_planes))
+        assert (got == cref).all(), n_planes
