@@ -106,10 +106,8 @@ def main():
     # 5. the TPU-native form: every recovering placement's reaction-
     # constrained completion as ONE batched solver call (the reference
     # solves these one DFS at a time)
-    on_tpu = jax.default_backend() == "tpu"
     sel = [tuple(int(v) for v in o) for o in offs[hits]]
-    if not on_tpu:
-        sel = sel[:6]  # interpret-mode beam: keep the CPU demo quick
+    sel = sel[:6]  # interpret-mode beam: keep the CPU demo quick
     cats = jnp.stack([build(EATER, dx=ddx, dy=ddy) for ddx, ddy in sel])
     reqs = jnp.stack([build(EATER_REQ, pre_dx=-1, pre_dy=-1, dx=ddx,
                             dy=ddy) for ddx, ddy in sel])
@@ -117,8 +115,9 @@ def main():
 
     def make_problems(cats, reqs, glider):
         # the 64-generation constrained replay, vmapped over every
-        # placement (jit on TPU; eager batched on CPU, where compiling
-        # the unrolled replay graph costs more than running it)
+        # placement, eager batched (this CPU demo never jits it:
+        # compiling the unrolled replay graph costs more than running
+        # it; a production TPU run would jit this and raise iters)
         def one(cat, req):
             wi = W.from_required(cat, req)
             st = W.to_stable_with_history(wi, glider, HORIZON)
@@ -129,12 +128,10 @@ def main():
 
         return _jax.vmap(one)(cats, reqs)
 
-    if on_tpu:
-        make_problems = _jax.jit(make_problems)
     problems = make_problems(cats, reqs, glider)
     bres = C.complete_stable_beam(
-        problems, frontier=4, iters=96 if on_tpu else 24, minimise=False,
-        dense=False, interpret=not on_tpu)
+        problems, frontier=4, iters=24, minimise=False,
+        dense=False, interpret=True)
     found = np.asarray(bres.found)
     bgs = jnp.asarray(bres.best)
     finals = step_n(bgs | glider, HORIZON)

@@ -140,16 +140,7 @@ def _shard_beam(bst_local, frontier, iters, minimise, engine, interpret,
                                  init_bound=init_bound)
     B = bst_local.state.shape[0]
     F = frontier
-    flat = B * F
-    batch_tile = 128
-    if flat >= batch_tile:
-        lane_tile = batch_tile
-    elif interpret:
-        lane_tile = flat
-    else:
-        lane_tile = 128
-    step = lane_tile // F
-    b_pad = -(-B // step) * step
+    lane_tile, b_pad = C.beam_tile_geometry(B, F, 128, interpret)
     zero_seed = jnp.zeros((B, 64, 2), jnp.uint32)
     if init_bound is None:
         bound = jnp.zeros((B,), jnp.int32)

@@ -555,6 +555,28 @@ def _fused_beam_run(stable_in, seed, bound, *, F, iters, minimise, b_pad,
     return jnp.concatenate([best.reshape(B, 128)] + scalars, axis=1)
 
 
+def beam_tile_geometry(B, F, batch_tile, interpret):
+    """(lane_tile, b_pad) for the fused beam's lane layout, with the
+    frontier-vs-tile guard — ONE copy shared by complete_stable_beam,
+    the queued API and parallel.elite._shard_beam (round-5 review: a
+    diverging copy dropped the guard)."""
+    flat = B * F
+    if flat >= batch_tile:
+        lane_tile = batch_tile
+    elif interpret:
+        lane_tile = flat
+    else:
+        lane_tile = 128  # Pallas TPU lane-tile minimum
+    if F > lane_tile:
+        # a problem's F-lane group must never straddle a tile: the
+        # in-kernel lane-group rotates would mix problems
+        raise ValueError(
+            f"frontier={F} exceeds lane tile {lane_tile}; raise "
+            f"batch_tile or lower the frontier")
+    step = lane_tile // F  # F is a power of two
+    return lane_tile, -(-B // step) * step
+
+
 _FUSED_BEAM_JIT = None
 
 
@@ -652,23 +674,7 @@ def complete_stable_beam(stable, frontier=8, iters=192, minimise=True,
                                  "use_seed", "needs_pack", "simple_phase",
                                  "use_bound", "compact"),
             )
-        flat = B * F
-        if flat >= batch_tile:
-            lane_tile = batch_tile
-        elif interpret:
-            lane_tile = flat
-        else:
-            lane_tile = 128  # Pallas TPU lane-tile minimum (round-5
-            # review: small problem sets used to hand Mosaic an
-            # under-sized tile)
-        if F > lane_tile:
-            # a problem's F-lane group must never straddle a tile: the
-            # in-kernel lane-group rotates would mix problems
-            raise ValueError(
-                f"frontier={F} exceeds lane tile {lane_tile}; raise "
-                f"batch_tile or lower the frontier")
-        step = lane_tile // F  # F is a power of two
-        b_pad = -(-B // step) * step
+        lane_tile, b_pad = beam_tile_geometry(B, F, batch_tile, interpret)
         use_seed = seed is not None
         use_bound = init_bound is not None
         zero_seed, zero_bound = _aux_inputs(B)
@@ -773,19 +779,7 @@ def complete_stable_beam_queued(stable, chunk=8192, frontier=4, iters=24,
         interpret = True
 
     F = frontier
-    flat = chunk * F
-    if flat >= batch_tile:
-        lane_tile = batch_tile
-    elif interpret:
-        lane_tile = flat
-    else:
-        lane_tile = 128  # Pallas TPU lane-tile minimum
-    if F > lane_tile:
-        raise ValueError(
-            f"frontier={F} exceeds lane tile {lane_tile}; raise "
-            f"batch_tile or lower the frontier")
-    step = lane_tile // F
-    b_pad = -(-chunk // step) * step
+    lane_tile, b_pad = beam_tile_geometry(chunk, F, batch_tile, interpret)
 
     pad = -B_total % chunk
     planes = (bst.state, bst.unknown) + tuple(bst.ruled)

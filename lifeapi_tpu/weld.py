@@ -316,8 +316,22 @@ def unweldable_mask(a: LifeWeld, b: LifeWeld, starting_good=None,
     if not offsets:
         mask = B.from_dense(jnp.asarray(bad_dense))
         # honor the (mask, stats) contract on the degenerate
-        # all-predetermined input too (round-5 review)
-        return (mask, {"placements": 0}) if return_stats else mask
+        # all-predetermined input too, with the SAME key set as the
+        # selected engine's normal path (round-5 reviews)
+        if not return_stats:
+            return mask
+        if engine == "beam":
+            stats0 = {
+                "placements": 0, "tier1_residue": 0,
+                "tier2_proved": 0, "tier2_completed": 0,
+                "tier3_instances": 0, "tier3_stage_a_determined": 0,
+                "tier3_full_determined": 0,
+                "tier3_wall_budget_skipped": 0,
+            }
+        else:
+            stats0 = {"placements": 0, "host_determined": 0,
+                      "host_marked_bad": 0}
+        return mask, stats0
 
     # ONE jitted builder for the per-offset stable problems (both
     # engines): per-placement eager `to_stable` calls would pay one
